@@ -1,0 +1,107 @@
+"""Solver settings and CLI parsing.
+
+Mirrors the reference ``Solver::Settings`` POD and its hand-rolled argv
+parser (reference: src/Solver.hpp:39-50, src/Solver.cpp:273-307) with the
+same flags and defaults, plus TPU-specific knobs (dtype, solver tolerances).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+# Linear solver ids (reference: src/Solver.hpp:47, `-ls <int>`)
+LDLT = 0  # prefactored direct solve (no collisions allowed)
+NCMCGS = 1  # nodal-constrained multicolor Gauss-Seidel
+UZAWACG = 2  # Uzawa saddle-point CG
+PCG = 3  # TPU extension: matrix-free Jacobi-preconditioned CG (scalable)
+
+
+@dataclasses.dataclass
+class Settings:
+    """Simulation settings.
+
+    Defaults match the reference (src/Solver.hpp:48-49): dt=1/24 s,
+    verbose=1, admm_iters=10, gravity=-9.8, linsolver=0 (direct),
+    constraint_w=-1 (auto).
+    """
+
+    timestep_s: float = 1.0 / 24.0  # -dt
+    verbose: int = 1  # -v
+    admm_iters: int = 10  # -it
+    gravity: float = -9.8  # -g
+    linsolver: int = LDLT  # -ls (0=direct, 1=NCMCGS, 2=UzawaCG, 3=PCG)
+    constraint_w: float = -1.0  # -ck (-1 = auto)
+
+    # --- TPU-native extensions (not in the reference CLI) ---
+    dtype: Optional[np.dtype] = None  # None -> f64 if jax_enable_x64 else f32
+    # Inner-solver iteration caps / tolerances. Reference values:
+    # NCMCGS: 30 iters, tol 1e-10, omega 1.9 (src/NodalMultiColorGS.hpp:41-46)
+    # UzawaCG: 20 iters, tol 1e-10 (src/UzawaCG.hpp:39-47)
+    gs_max_iters: int = 30
+    gs_tol: float = 1e-10
+    gs_omega: float = 1.9
+    uzawa_max_iters: int = 20
+    uzawa_tol: float = 1e-10
+    pcg_max_iters: int = 200
+    pcg_tol: float = 1e-10
+    # Fixed iteration count for the batched Newton solve inside the
+    # hyperelastic prox (replaces the reference's per-element L-BFGS line
+    # search, src/TetEnergyTerm.cpp:133).
+    prox_newton_iters: int = 8
+
+    def parse_args(self, argv) -> bool:
+        """Parse CLI flags; returns True if -help was requested.
+
+        Same contract as the reference parser (src/Solver.cpp:273-307).
+        """
+        i = 0
+        args = list(argv)
+        n = len(args)
+        while i < n:
+            a = args[i]
+            if a in ("-help", "--help", "-h"):
+                self.help()
+                return True
+            if i + 1 < n:
+                val = args[i + 1]
+                if a == "-dt":
+                    self.timestep_s = float(val)
+                elif a == "-v":
+                    self.verbose = int(val)
+                elif a == "-it":
+                    self.admm_iters = int(val)
+                elif a == "-g":
+                    self.gravity = float(val)
+                elif a == "-ls":
+                    self.linsolver = int(val)
+                elif a == "-ck":
+                    self.constraint_w = float(val)
+            i += 1
+        return False
+
+    @staticmethod
+    def help():
+        print(
+            "\n==========================================\nArgs:\n"
+            "\t-dt: time step (s)\n"
+            "\t-v: verbosity (higher -> show more)\n"
+            "\t-it: # admm iters\n"
+            "\t-g: gravity (m/s^2)\n"
+            "\t-ls: linear solver (0=direct, 1=NCMCGS, 2=UzawaCG, 3=PCG)\n"
+            "\t-ck: constraint weights (-1 = auto)\n"
+            "=========================================="
+        )
+
+
+def default_dtype():
+    """f64 when jax_enable_x64 is on (parity testing), else f32 (TPU fast path)."""
+    import jax
+
+    return np.float64 if jax.config.jax_enable_x64 else np.float32
+
+
+def resolve_dtype(settings: Settings):
+    return np.dtype(settings.dtype) if settings.dtype is not None else np.dtype(default_dtype())

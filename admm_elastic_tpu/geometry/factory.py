@@ -1,0 +1,144 @@
+"""Shape factories: plane, sphere, tet-block beams.
+
+Replaces the mclscene factory API consumed by the demos
+(mcl::factory::make_plane/make_sphere/make_tet_blocks,
+samples/sca2016/beams.cpp:45-47, trianglestrain.cpp:36-37,
+samples/utils/AddMeshes.hpp:77).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from admm_elastic_tpu.geometry.mesh import TetMesh, TriangleMesh
+
+# The 5-tet decomposition of a cube (alternating parity to share faces).
+_CUBE_TETS_EVEN = [
+    (0, 1, 3, 5),
+    (0, 3, 2, 6),
+    (0, 5, 4, 6),
+    (3, 5, 6, 7),
+    (0, 3, 5, 6),
+]
+_CUBE_TETS_ODD = [
+    (1, 2, 0, 4),
+    (1, 7, 3, 2),
+    (1, 4, 5, 7),
+    (2, 4, 6, 7),
+    (1, 2, 7, 4),
+]
+
+
+def make_plane(nx: int, ny: int, size: float = 1.0) -> TriangleMesh:
+    """A [-size, size]^2 planar grid in the xy-plane with nx x ny cells."""
+    xs = np.linspace(-size, size, nx + 1)
+    ys = np.linspace(-size, size, ny + 1)
+    verts = np.array([[x, y, 0.0] for y in ys for x in xs])
+    faces = []
+    for j in range(ny):
+        for i in range(nx):
+            v0 = j * (nx + 1) + i
+            v1 = v0 + 1
+            v2 = v0 + (nx + 1)
+            v3 = v2 + 1
+            faces.append([v0, v1, v3])
+            faces.append([v0, v3, v2])
+    return TriangleMesh(vertices=verts, faces=np.asarray(faces, dtype=np.int64))
+
+
+def make_sphere(center, radius: float, subdiv: int = 16) -> TriangleMesh:
+    """UV sphere triangle mesh."""
+    center = np.asarray(center, dtype=np.float64)
+    verts = [center + [0, radius, 0]]
+    for i in range(1, subdiv):
+        theta = np.pi * i / subdiv
+        for j in range(subdiv):
+            phi = 2 * np.pi * j / subdiv
+            verts.append(
+                center
+                + radius
+                * np.array(
+                    [np.sin(theta) * np.cos(phi), np.cos(theta), np.sin(theta) * np.sin(phi)]
+                )
+            )
+    verts.append(center + [0, -radius, 0])
+    faces = []
+    for j in range(subdiv):
+        faces.append([0, 1 + (j + 1) % subdiv, 1 + j])
+    for i in range(subdiv - 2):
+        ring0 = 1 + i * subdiv
+        ring1 = ring0 + subdiv
+        for j in range(subdiv):
+            a = ring0 + j
+            b = ring0 + (j + 1) % subdiv
+            c = ring1 + j
+            d = ring1 + (j + 1) % subdiv
+            faces.append([a, b, d])
+            faces.append([a, d, c])
+    last = len(verts) - 1
+    ring = last - subdiv
+    for j in range(subdiv):
+        faces.append([last, ring + j, ring + (j + 1) % subdiv])
+    return TriangleMesh(
+        vertices=np.asarray(verts), faces=np.asarray(faces, dtype=np.int64)
+    )
+
+
+def make_tet_blocks(nx: int, ny: int, nz: int, cell: float = 1.0) -> TetMesh:
+    """A structured nx x ny x nz grid of cubes, each split into 5 tets
+    (parity-alternating so neighboring cubes share diagonal faces).
+
+    mcl::factory::make_tet_blocks equivalent (used by the beams demo for
+    ~4:1:1 beams, samples/sca2016/beams.cpp:45-47).
+    """
+
+    def vid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    verts = np.array(
+        [
+            [i * cell, j * cell, k * cell]
+            for i in range(nx + 1)
+            for j in range(ny + 1)
+            for k in range(nz + 1)
+        ]
+    )
+    tets = []
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                c = [
+                    vid(i, j, k),
+                    vid(i + 1, j, k),
+                    vid(i, j + 1, k),
+                    vid(i + 1, j + 1, k),
+                    vid(i, j, k + 1),
+                    vid(i + 1, j, k + 1),
+                    vid(i, j + 1, k + 1),
+                    vid(i + 1, j + 1, k + 1),
+                ]
+                pattern = _CUBE_TETS_EVEN if (i + j + k) % 2 == 0 else _CUBE_TETS_ODD
+                for t in pattern:
+                    tets.append([c[t[0]], c[t[1]], c[t[2]], c[t[3]]])
+    tets = np.asarray(tets, dtype=np.int64)
+    # Ensure positive orientation.
+    x4 = verts[tets]
+    e = np.stack([x4[:, 1] - x4[:, 0], x4[:, 2] - x4[:, 0], x4[:, 3] - x4[:, 0]], axis=-1)
+    bad = np.linalg.det(e) < 0
+    tets[bad] = tets[bad][:, [0, 2, 1, 3]]
+    return TetMesh(vertices=verts, tets=tets)
+
+
+def make_xform(trans=(0, 0, 0), rot_deg: float = 0.0, rot_axis=(1, 0, 0), scale=(1, 1, 1)) -> np.ndarray:
+    """4x4 homogeneous transform T @ R @ S (mcl::XForm equivalent)."""
+    axis = np.asarray(rot_axis, dtype=np.float64)
+    axis = axis / max(np.linalg.norm(axis), 1e-30)
+    a = np.deg2rad(rot_deg)
+    c, s = np.cos(a), np.sin(a)
+    x, y, z = axis
+    K = np.array([[0, -z, y], [z, 0, -x], [-y, x, 0]])
+    R3 = np.eye(3) * c + s * K + (1 - c) * np.outer(axis, axis)
+    M = np.eye(4)
+    M[:3, :3] = R3 @ np.diag(scale)
+    M[:3, 3] = trans
+    return M

@@ -1,0 +1,85 @@
+"""Matrix-free applies of the ADMM reduction matrix D and its transpose.
+
+The reference assembles a global sparse D (src/Solver.cpp:199-223) and each
+energy term slices its row block (src/EnergyTerm.hpp:130-140). On TPU we
+never materialize D: each element family applies its local reduction as a
+gather + small batched contraction, and D^T as the transposed contraction +
+segment scatter-add. Per-tet local reduction is the 9x12 operator
+S * edges_inv (src/TetEnergyTerm.cpp:50-71); per-tri the 6x9 operator
+(src/TriEnergyTerm.cpp:54-70); per-pin the identity rows on the pinned
+vertex (src/SpringEnergyTerm.hpp:54-59).
+
+Conventions:
+- ``x`` is [N, 3] vertex positions.
+- Tet deformation gradients are [T, 3, 3]: F = X @ Dlocal where X is the
+  3x4 matrix of the tet's vertex positions and Dlocal = S @ Dm_inv [4, 3].
+- Tri deformation gradients are [T, 3, 2]: F = X @ Dlocal, Dlocal [3, 2].
+- Pin "deformation" is just the pinned vertex position [P, 3].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+# --- Tets -------------------------------------------------------------------
+
+def tet_Dx(x, inds, Dlocal):
+    """D_i x for a tet family: F [T,3,3] = sum_j x[inds[t,j]] outer Dlocal[t,j].
+
+    F_{rc} = sum_j x4[t,j,r] * Dlocal[t,j,c].
+    """
+    x4 = x[inds]  # [T, 4, 3]
+    return jnp.einsum("tjr,tjc->trc", x4, Dlocal)
+
+
+def tet_Dt(G, inds, Dlocal, n_verts):
+    """D_i^T G scattered into a [N,3] vector; G is [T,3,3]."""
+    contrib = jnp.einsum("trc,tjc->tjr", G, Dlocal)  # [T, 4, 3]
+    out = jnp.zeros((n_verts, 3), dtype=G.dtype)
+    return out.at[inds.reshape(-1)].add(contrib.reshape(-1, 3))
+
+
+def tet_diag(weight2, Dlocal, inds, n_verts):
+    """diag(D^T W^2 D) per-vertex (one scalar per vertex; all 3 comps equal)."""
+    d = weight2[:, None] * jnp.sum(Dlocal * Dlocal, axis=-1)  # [T, 4]
+    out = jnp.zeros((n_verts,), dtype=Dlocal.dtype)
+    return out.at[inds.reshape(-1)].add(d.reshape(-1))
+
+
+# --- Triangles ---------------------------------------------------------------
+
+def tri_Dx(x, inds, Dlocal):
+    """D_i x for a tri family: F [T,3,2]."""
+    x3 = x[inds]  # [T, 3, 3]
+    return jnp.einsum("tjr,tjc->trc", x3, Dlocal)
+
+
+def tri_Dt(G, inds, Dlocal, n_verts):
+    """D_i^T G scattered into [N,3]; G is [T,3,2]."""
+    contrib = jnp.einsum("trc,tjc->tjr", G, Dlocal)  # [T, 3, 3]
+    out = jnp.zeros((n_verts, 3), dtype=G.dtype)
+    return out.at[inds.reshape(-1)].add(contrib.reshape(-1, 3))
+
+
+def tri_diag(weight2, Dlocal, inds, n_verts):
+    d = weight2[:, None] * jnp.sum(Dlocal * Dlocal, axis=-1)  # [T, 3]
+    out = jnp.zeros((n_verts,), dtype=Dlocal.dtype)
+    return out.at[inds.reshape(-1)].add(d.reshape(-1))
+
+
+# --- Pins --------------------------------------------------------------------
+
+def pin_Dx(x, idx):
+    """[P,3] positions of pinned vertices (identity reduction rows)."""
+    return x[idx]
+
+
+def pin_Dt(G, idx, n_verts):
+    out = jnp.zeros((n_verts, 3), dtype=G.dtype)
+    return out.at[idx].add(G)
+
+
+def pin_diag(weight2, idx, n_verts):
+    out = jnp.zeros((n_verts,), dtype=weight2.dtype)
+    return out.at[idx].add(weight2)

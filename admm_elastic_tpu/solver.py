@@ -1,0 +1,554 @@
+"""The Solver: scene staging, one-time initialize, and the jitted timestep.
+
+API mirrors the reference ``admm::Solver`` (src/Solver.hpp:63-104):
+``add_nodes``, ``set_pins``, ``add_obstacle``, ``add_dynamic_collider``,
+``initialize``, ``step``, ``runtime_data``, ``save_matrix``, plus
+energy-term registration helpers replacing ``create_*_from_mesh``.
+
+The whole timestep (src/Solver.cpp:35-109) compiles to ONE XLA program:
+
+    v += explicit forces; v_y += dt*g
+    x_bar = x + dt v;  z = D x;  u = 0;  curr_x = x_bar
+    fori admm_iters:                       # dynamic bound -> no recompiles
+        local:   z,u <- prox(D curr_x + u)        (batched per family)
+        detect:  masked hit buffers at curr_x
+        global:  b = M x_bar + dt^2 D^T W^2 (z-u); solve A curr_x = b
+    v = (curr_x - x)/dt; x = curr_x
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from admm_elastic_tpu import config as cfg
+from admm_elastic_tpu.collision import constraints as con
+from admm_elastic_tpu.collision.dynamic import TetMeshCollider, detect_dynamic
+from admm_elastic_tpu.collision.passive import detect_passive
+from admm_elastic_tpu.config import Settings
+from admm_elastic_tpu.materials import Lame
+from admm_elastic_tpu.solvers import direct as direct_mod
+from admm_elastic_tpu.solvers import gs as gs_mod
+from admm_elastic_tpu.solvers import pcg as pcg_mod
+from admm_elastic_tpu.solvers import uzawa as uzawa_mod
+from admm_elastic_tpu.system import assembly
+from admm_elastic_tpu.system import elements as el
+from admm_elastic_tpu.system import system as sysm
+
+
+@dataclasses.dataclass(frozen=True)
+class GSData:
+    ell_cols: jax.Array
+    ell_vals: jax.Array
+    diag: jax.Array
+    colors: jax.Array
+    colors_mask: jax.Array
+
+
+jax.tree_util.register_dataclass(
+    GSData, data_fields=("ell_cols", "ell_vals", "diag", "colors", "colors_mask"), meta_fields=()
+)
+
+
+@dataclasses.dataclass
+class RuntimeData:
+    """Per-step timing log (reference src/Solver.hpp:54-61)."""
+
+    global_ms: float = 0.0
+    local_ms: float = 0.0
+    collision_ms: float = 0.0
+    step_ms: float = 0.0
+    inner_iters: int = 0
+
+    def print(self, settings: Settings):
+        it = max(settings.admm_iters, 1)
+        print(f"\nTotal step: {self.step_ms}ms")
+        print(f"Total global step: {self.global_ms}ms")
+        print(f"Total local step: {self.local_ms}ms")
+        print(f"Total collision update: {self.collision_ms}ms")
+        print(f"ADMM Iters: {settings.admm_iters}")
+        print(f"Avg Inner Iters: {self.inner_iters / it}")
+
+
+# ---------------------------------------------------------------------------
+# The jitted step
+# ---------------------------------------------------------------------------
+
+def _detect(obstacles, colliders, x, surf_inds, with_passive: bool, dtype):
+    """One round of collision detection into fixed-capacity buffers.
+
+    Mirrors Collider::detect (src/Collider.hpp:152-212): deepest passive
+    hit per vertex across obstacles; first dynamic hit per vertex across
+    colliders (the reference resolves one dynamic collision at a time,
+    src/DynamicObject.hpp:73).
+    """
+    hits = con.empty_hits(surf_inds, dtype)
+    if surf_inds.shape[0] == 0:
+        return hits
+    xs = x[surf_inds]
+    if obstacles and with_passive:
+        dx, point, normal, mask = detect_passive(obstacles, xs)
+        hits = dataclasses.replace(hits, p_mask=mask, p_normal=normal, p_point=point)
+    if colliders:
+        d_mask = jnp.zeros((surf_inds.shape[0],), dtype=bool)
+        d_face = jnp.zeros((surf_inds.shape[0], 3), dtype=jnp.int32)
+        d_barys = jnp.zeros((surf_inds.shape[0], 3), dtype=dtype)
+        d_normal = jnp.zeros((surf_inds.shape[0], 3), dtype=dtype)
+        for c in colliders:
+            res = detect_dynamic(c, x, xs, surf_inds)
+            take = res["mask"] & ~d_mask
+            d_face = jnp.where(take[:, None], res["face"], d_face)
+            d_barys = jnp.where(take[:, None], res["barys"], d_barys)
+            d_normal = jnp.where(take[:, None], res["normal"], d_normal)
+            d_mask = d_mask | res["mask"]
+        hits = dataclasses.replace(
+            hits, d_mask=d_mask, d_face=d_face, d_barys=d_barys, d_normal=d_normal
+        )
+    return hits
+
+
+@partial(jax.jit, static_argnames=("linsolver", "prox_iters", "with_passive"))
+def _step_impl(
+    system: sysm.System,
+    solve_data,
+    obstacles,
+    colliders,
+    wind_forces,
+    surf_inds,
+    pin_mask,
+    pin_target,
+    state: sysm.SimState,
+    params: Dict,
+    *,
+    linsolver: int,
+    prox_iters: int,
+    with_passive: bool,
+):
+    dt = system.dt
+    dtype = state.x.dtype
+    x0, v = state.x, state.v
+    masses = system.masses
+
+    # Explicit forces then gravity kick (src/Solver.cpp:53-59).
+    for f in wind_forces:
+        v = f.project(dt, x0, v, masses)
+    v = v.at[:, 1].add(dt * params["gravity"])
+
+    x_bar = x0 + dt * v
+    M_xbar = masses[:, None] * x_bar
+    z = sysm.Dx(system, x0)
+    u = [jnp.zeros_like(zi) for zi in z]
+
+    def admm_iter(_, carry):
+        curr_x, z, u, y, n_prev, tot = carry
+        # LOCAL (src/Solver.cpp:84-87)
+        z, u = sysm.local_step(system, curr_x, z, u, prox_iters)
+        # COLLISION (src/Solver.cpp:92-93)
+        hits = _detect(obstacles, colliders, curr_x, surf_inds, with_passive, dtype)
+        # GLOBAL (src/Solver.cpp:98-99)
+        b = sysm.rhs(system, M_xbar, z, u)
+        if linsolver == cfg.LDLT:
+            curr_x = direct_mod.solve(solve_data, b)
+            it = jnp.asarray(1, jnp.int32)
+        elif linsolver == cfg.NCMCGS:
+            hits_dyn = dataclasses.replace(hits, p_mask=jnp.zeros_like(hits.p_mask))
+            curr_x, it = gs_mod.solve(
+                solve_data.ell_cols,
+                solve_data.ell_vals,
+                solve_data.diag,
+                solve_data.colors,
+                solve_data.colors_mask,
+                b,
+                curr_x,
+                pin_mask,
+                pin_target,
+                obstacles,
+                hits_dyn,
+                params["ck"],
+                params["omega"],
+                params["gs_max_iters"],
+                params["gs_tol"],
+            )
+        elif linsolver == cfg.UZAWACG:
+            hits = hits.dedup()
+            n_act = hits.n_active()
+            y = jnp.where(n_act == n_prev, y, jnp.zeros_like(y))
+            curr_x, y, it = uzawa_mod.solve(
+                lambda rhs_: direct_mod.solve(solve_data, rhs_),
+                hits,
+                params["ck"],
+                b,
+                curr_x,
+                y,
+                params["uzawa_max_iters"],
+                params["uzawa_tol"],
+            )
+            n_prev = n_act
+        elif linsolver == cfg.PCG:
+            curr_x, it = pcg_mod.solve(
+                lambda xx: sysm.A_mv(system, xx),
+                solve_data,
+                b,
+                curr_x,
+                params["pcg_tol"],
+                params["pcg_max_iters"],
+            )
+        else:
+            raise ValueError(f"unknown linsolver {linsolver}")
+        return (curr_x, z, u, y, n_prev, tot + it)
+
+    carry0 = (x_bar, z, u, state.y, state.n_active_prev, jnp.asarray(0, jnp.int32))
+    curr_x, z, u, y, n_prev, inner = jax.lax.fori_loop(
+        0, params["admm_iters"], admm_iter, carry0
+    )
+
+    v_new = (curr_x - x0) * (1.0 / dt)
+    new_state = sysm.SimState(x=curr_x, v=v_new, y=y, n_active_prev=n_prev)
+    return new_state, inner
+
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+
+class Solver:
+    """Scene container + simulation driver (reference admm::Solver)."""
+
+    def __init__(self, settings: Optional[Settings] = None):
+        self.m_settings = settings if settings is not None else Settings()
+        self.initialized = False
+        # Host staging.
+        self._x_stage: List[np.ndarray] = []
+        self._m_stage: List[np.ndarray] = []
+        self._n_verts = 0
+        self._tet_specs: List[Tuple] = []  # (verts, tets, lame, model, offset, kappa)
+        self._tri_specs: List[Tuple] = []
+        self._pins: Dict[int, np.ndarray] = {}
+        self.surface_inds: List[int] = []
+        self.obstacles: List = []
+        self.colliders: List[TetMeshCollider] = []
+        self.ext_forces: List = []
+        # Built at initialize.
+        self.system: Optional[sysm.System] = None
+        self.state: Optional[sysm.SimState] = None
+        self._solve_data = None
+        self._surf_inds_dev = None
+        self._pin_mask = None
+        self._pin_target = None
+        self._runtime = RuntimeData()
+
+    # -- staging API --------------------------------------------------------
+
+    def add_nodes(self, x: np.ndarray, m: np.ndarray) -> int:
+        """Append vertices; returns total vertex count (src/Solver.hpp:127-141)."""
+        x = np.asarray(x, dtype=np.float64).reshape(-1, 3)
+        m = np.asarray(m, dtype=np.float64).reshape(-1)
+        if m.shape[0] == 3 * x.shape[0]:  # accept x3-scaled masses
+            m = m.reshape(-1, 3)[:, 0]
+        assert m.shape[0] == x.shape[0]
+        self._x_stage.append(x)
+        self._m_stage.append(m)
+        self._n_verts += x.shape[0]
+        return self._n_verts
+
+    def add_tet_energies(self, verts, tets, lame: Lame, model: str = "linear",
+                         vertex_offset: int = 0, kappa: float = 0.0):
+        """Register a tet element family (create_tets_from_mesh equivalent,
+        src/TetEnergyTerm.hpp:35-51)."""
+        self._tet_specs.append((np.asarray(verts, dtype=np.float64),
+                                np.asarray(tets, dtype=np.int64), lame, model,
+                                vertex_offset, kappa))
+
+    def add_tri_energies(self, verts, tris, lame: Lame, vertex_offset: int = 0):
+        """Register a triangle (cloth) family (src/TriEnergyTerm.hpp:31-46)."""
+        self._tri_specs.append((np.asarray(verts, dtype=np.float64),
+                                np.asarray(tris, dtype=np.int64), lame, vertex_offset))
+
+    def add_obstacle(self, obj):
+        self.obstacles.append(obj)
+
+    def add_dynamic_collider(self, obj: TetMeshCollider):
+        self.colliders.append(obj)
+
+    def add_explicit_force(self, f):
+        self.ext_forces.append(f)
+
+    def set_pins(self, inds, points=None):
+        """(Re)set the pin constraint set (src/Solver.cpp:113-157).
+
+        Before initialize: defines the pinnable set. After initialize with
+        the prefactored/Uzawa solvers, only targets/active flags of the
+        *initial* pin set may change; raises otherwise.
+        """
+        inds = [int(i) for i in inds]
+        pin_in_place = points is None or len(points) != len(inds)
+        if pin_in_place and points is not None and len(points) > 0:
+            raise ValueError("**Solver::set_pins Error: Bad input.")
+
+        new_pins: Dict[int, np.ndarray] = {}
+        x_now = self.x if self.initialized or self._n_verts else None
+        for k, idx in enumerate(inds):
+            if pin_in_place:
+                if x_now is None:
+                    raise ValueError("**Solver::set_pins Error: Bad input.")
+                new_pins[idx] = np.asarray(x_now[idx], dtype=np.float64)
+            else:
+                new_pins[idx] = np.asarray(points[k], dtype=np.float64)
+        self._pins = new_pins
+
+        if not self.initialized:
+            return
+
+        ls = self.m_settings.linsolver
+        if ls in (cfg.LDLT, cfg.UZAWACG):
+            pins = self.system.pins
+            if pins is None or pins.n == 0:
+                if new_pins:
+                    raise RuntimeError("**Solver::set_pins Error: Constraint not found.")
+                return
+            idx_np = np.asarray(pins.idx)
+            lookup = {int(i): k for k, i in enumerate(idx_np)}
+            active = np.zeros((pins.n,), dtype=bool)
+            target = np.asarray(pins.target).copy()
+            for idx, p in new_pins.items():
+                if idx not in lookup:
+                    raise RuntimeError(
+                        f"**Solver::set_pins Error: Constraint for {idx} not found."
+                    )
+                k = lookup[idx]
+                active[k] = True
+                target[k] = p
+            new_batch = dataclasses.replace(
+                pins, target=jnp.asarray(target, dtype=target.dtype), active=jnp.asarray(active)
+            )
+            self.system = dataclasses.replace(self.system, pins=new_batch)
+        # GS-mode pin arrays are rebuilt for any linsolver (harmless).
+        self._rebuild_pin_arrays()
+
+    def _rebuild_pin_arrays(self):
+        n = self._n_verts
+        dtype = self._dtype
+        pm = np.zeros((n,), dtype=bool)
+        pt = np.zeros((n, 3), dtype=np.float64)
+        for idx, p in self._pins.items():
+            pm[idx] = True
+            pt[idx] = p
+        self._pin_mask = jnp.asarray(pm)
+        self._pin_target = jnp.asarray(pt, dtype=dtype)
+
+    # -- convenience state views ---------------------------------------------
+
+    @property
+    def x(self) -> np.ndarray:
+        if self.state is not None:
+            return np.array(self.state.x)  # writable copy
+        return np.concatenate(self._x_stage, axis=0) if self._x_stage else np.zeros((0, 3))
+
+    @x.setter
+    def x(self, value):
+        value = np.asarray(value, dtype=np.float64).reshape(-1, 3)
+        if self.state is not None:
+            self.state = dataclasses.replace(
+                self.state, x=jnp.asarray(value, dtype=self._dtype)
+            )
+        else:
+            self._x_stage = [value]
+            self._m_stage = [np.concatenate(self._m_stage)] if self._m_stage else []
+            self._n_verts = value.shape[0]
+
+    @property
+    def v(self) -> np.ndarray:
+        return np.asarray(self.state.v) if self.state is not None else np.zeros((self._n_verts, 3))
+
+    @v.setter
+    def v(self, value):
+        value = np.asarray(value, dtype=np.float64).reshape(-1, 3)
+        self.state = dataclasses.replace(self.state, v=jnp.asarray(value, dtype=self._dtype))
+
+    @property
+    def masses(self) -> np.ndarray:
+        return np.concatenate(self._m_stage) if self._m_stage else np.zeros((0,))
+
+    def settings(self) -> Settings:
+        return self.m_settings
+
+    def runtime_data(self) -> RuntimeData:
+        return self._runtime
+
+    # -- initialize -----------------------------------------------------------
+
+    def initialize(self, settings: Optional[Settings] = None) -> bool:
+        """Assemble the system, prefactor, build the jitted step
+        (src/Solver.cpp:167-261)."""
+        if settings is not None:
+            self.m_settings = settings
+        s = self.m_settings
+        if s.timestep_s <= 0.0:
+            print(f"\n**Solver Error: timestep set to {s.timestep_s}s, changing to 1/24s.")
+            s.timestep_s = 1.0 / 24.0
+
+        # Current positions survive re-initialize (the reference keeps m_x and
+        # only zeroes m_v, src/Solver.cpp:186-188).
+        x_np = np.asarray(self.x, dtype=np.float64)
+        m_np = np.concatenate(self._m_stage) if self._m_stage else np.zeros((0,))
+        n = x_np.shape[0]
+        if n < 1 or m_np.shape[0] != n:
+            print("\n**Solver Error: Problem with node data!")
+            return False
+        self._n_verts = n
+        dtype = cfg.resolve_dtype(s)
+        self._dtype = dtype
+
+        # Element batches.
+        tets = tuple(
+            el.build_tet_batch(v, t, lame, model, off, dtype=dtype, kappa=kap)
+            for (v, t, lame, model, off, kap) in self._tet_specs
+        )
+        tris = tuple(
+            el.build_tri_batch(v, t, lame, off, dtype=dtype)
+            for (v, t, lame, off) in self._tri_specs
+        )
+
+        # Pin energies for prefactored / Uzawa paths (src/Solver.cpp:190-196).
+        pins_batch = None
+        if s.linsolver in (cfg.LDLT, cfg.UZAWACG) and self._pins:
+            idxs = np.array(sorted(self._pins.keys()), dtype=np.int64)
+            tgts = np.stack([self._pins[int(i)] for i in idxs])
+            pins_batch = el.build_pin_batch(idxs, tgts, dtype=dtype)
+
+        self.system = sysm.System(
+            masses=jnp.asarray(m_np, dtype=dtype),
+            tets=tets,
+            tris=tris,
+            pins=pins_batch,
+            dt=float(s.timestep_s),
+        )
+
+        # Constraint weight auto-selection (src/Solver.cpp:235,239).
+        all_w = [np.asarray(b.weight) for b in tets] + [np.asarray(b.weight) for b in tris]
+        max_w = max((float(w.max()) for w in all_w if w.size), default=1.0)
+        if s.linsolver == cfg.NCMCGS:
+            ck = max_w * 3.0
+        else:
+            ck = 1.0
+        if s.constraint_w > 0.0:
+            ck = s.constraint_w
+        self._ck = np.sqrt(max(0.0, ck))  # rows are scaled by sqrt(w) (src/ConstraintSet.hpp:70)
+
+        # Surface (query) vertex set: explicit surface_inds, else all
+        # vertices when any collision object exists (src/Collider.hpp:158).
+        has_cobjs = bool(self.obstacles or self.colliders)
+        if self.surface_inds:
+            surf = np.unique(np.asarray(self.surface_inds, dtype=np.int64))
+        elif has_cobjs:
+            surf = np.arange(n, dtype=np.int64)
+        else:
+            surf = np.zeros((0,), dtype=np.int64)
+        self._surf_inds_dev = jnp.asarray(surf, dtype=jnp.int32)
+
+        # Global solver data.
+        ls = s.linsolver
+        if ls == cfg.LDLT:
+            if has_cobjs:
+                raise RuntimeError(
+                    "**Solver::add_obstacle Error: No collisions with LDLT solver"
+                )
+            A = assembly.assemble_dense(self.system)
+            self._solve_data = direct_mod.prepare(A, dtype, mode=getattr(s, "direct_mode", "cho"))
+        elif ls == cfg.NCMCGS:
+            ell_cols, ell_vals, diag = assembly.assemble_ell(self.system, dtype=dtype)
+            adj = assembly.vertex_adjacency(self.system)
+            colors = assembly.greedy_coloring(adj)
+            groups, gmask = assembly.color_groups(colors)
+            self._solve_data = GSData(
+                ell_cols=jnp.asarray(ell_cols),
+                ell_vals=jnp.asarray(ell_vals),
+                diag=jnp.asarray(diag),
+                colors=jnp.asarray(groups),
+                colors_mask=jnp.asarray(gmask),
+            )
+        elif ls == cfg.UZAWACG:
+            A = assembly.assemble_dense(self.system)
+            self._solve_data = direct_mod.prepare(A, dtype, mode=getattr(s, "direct_mode", "cho"))
+        elif ls == cfg.PCG:
+            self._solve_data = sysm.diag_A(self.system)
+        else:
+            raise ValueError(f"unknown linsolver {ls}")
+
+        self._rebuild_pin_arrays()
+
+        # State.
+        cap = surf.shape[0]
+        self.state = sysm.SimState(
+            x=jnp.asarray(x_np, dtype=dtype),
+            v=jnp.zeros((n, 3), dtype=dtype),
+            y=jnp.zeros((2 * cap,), dtype=dtype),
+            n_active_prev=jnp.asarray(-1, jnp.int32),
+        )
+
+        if s.verbose >= 1:
+            n_terms = sum(b.n for b in tets) + sum(b.n for b in tris)
+            n_terms += pins_batch.n if pins_batch is not None else 0
+            print(f"{n} nodes, {n_terms} energy terms")
+        self.initialized = True
+        return True
+
+    # -- stepping --------------------------------------------------------------
+
+    def _params(self):
+        s = self.m_settings
+        dtype = self._dtype
+        return dict(
+            admm_iters=jnp.asarray(s.admm_iters, jnp.int32),
+            gravity=jnp.asarray(s.gravity, dtype),
+            ck=jnp.asarray(self._ck, dtype),
+            omega=jnp.asarray(s.gs_omega, dtype),
+            gs_max_iters=jnp.asarray(s.gs_max_iters, jnp.int32),
+            gs_tol=jnp.asarray(s.gs_tol, dtype),
+            uzawa_max_iters=jnp.asarray(s.uzawa_max_iters, jnp.int32),
+            uzawa_tol=jnp.asarray(s.uzawa_tol, dtype),
+            pcg_max_iters=jnp.asarray(s.pcg_max_iters, jnp.int32),
+            pcg_tol=jnp.asarray(s.pcg_tol, dtype),
+        )
+
+    def step(self):
+        """Advance one timestep (src/Solver.cpp:35-109)."""
+        assert self.initialized, "call initialize() first"
+        s = self.m_settings
+        if s.verbose > 0:
+            print(f"\nSimulating with dt: {s.timestep_s}s...", end="", flush=True)
+        t0 = time.perf_counter()
+        new_state, inner = _step_impl(
+            self.system,
+            self._solve_data,
+            tuple(self.obstacles),
+            tuple(self.colliders),
+            tuple(self.ext_forces),
+            self._surf_inds_dev,
+            self._pin_mask,
+            self._pin_target,
+            self.state,
+            self._params(),
+            linsolver=s.linsolver,
+            prox_iters=s.prox_newton_iters,
+            with_passive=(s.linsolver != cfg.NCMCGS),
+        )
+        new_state = jax.block_until_ready(new_state)
+        self.state = new_state
+        self._runtime = RuntimeData(
+            step_ms=(time.perf_counter() - t0) * 1e3, inner_iters=int(inner)
+        )
+        if s.verbose > 0:
+            self._runtime.print(s)
+
+    def save_matrix(self, filename: str):
+        """Dump the single-component global matrix (src/Solver.cpp:264-269)."""
+        A = assembly.assemble_dense(self.system)
+        print(f"Saving matrix ({A.shape[0]}x{A.shape[1]}) to {filename}")
+        np.savetxt(filename, A)

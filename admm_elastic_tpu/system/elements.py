@@ -1,0 +1,257 @@
+"""Element-family batches (struct-of-arrays) and their host-side builders.
+
+The reference stores one heap-allocated EnergyTerm object per element and
+walks them with virtual dispatch (src/Solver.cpp:84-87). Here each element
+*family* (same element type + constitutive model) is one struct-of-arrays
+batch, so the local step is a handful of big batched kernels.
+
+Builders consume numpy arrays and mirror the reference constructors:
+- TetEnergyTerm ctor: rest edge inverse, volume=det/6, inverted-rest check,
+  w = sqrt(bulk_modulus * volume) (src/TetEnergyTerm.cpp:31-48).
+- TriEnergyTerm ctor: 2D rest pose from in-plane orthonormal basis,
+  area=det/2, w = sqrt(k*area), strain-limit validation
+  (src/TriEnergyTerm.cpp:29-51).
+- SpringPin: weight = sqrt(2 * bulk_modulus(rubber))
+  (src/SpringEnergyTerm.hpp:42-52).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+from admm_elastic_tpu.materials import Lame
+from admm_elastic_tpu.ops import prox as prox_ops
+
+# Selector matrices: rows are vertices, columns are rest-edge coordinates.
+_S_TET = np.array(
+    [[-1.0, -1.0, -1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+)
+_S_TRI = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+
+
+def _register(cls, data_fields, meta_fields):
+    return jax.tree_util.register_dataclass(cls, data_fields=data_fields, meta_fields=meta_fields)
+
+
+@dataclasses.dataclass(frozen=True)
+class TetBatch:
+    """A batch of tetrahedral FEM elements sharing one constitutive model."""
+
+    inds: jax.Array  # i32 [T, 4] global vertex indices
+    Dlocal: jax.Array  # [T, 4, 3] = S @ edges_inv
+    vol: jax.Array  # [T]
+    weight: jax.Array  # [T] ADMM weight sqrt(k * vol)
+    mu: jax.Array  # [T]
+    lam: jax.Array  # [T]
+    kappa: jax.Array  # [T] spline compression stabilizer (0 unless spline)
+    model: str = "linear"  # static
+
+    @property
+    def n(self) -> int:
+        return self.inds.shape[0]
+
+    @property
+    def bulk(self):
+        return self.lam + (2.0 / 3.0) * self.mu
+
+    def prox(self, zi, n_newton_iters: int = 8):
+        if self.model == prox_ops.TET_LINEAR:
+            return prox_ops.prox_tet_linear(zi)
+        return prox_ops.prox_tet_hyper(
+            zi, self.model, self.mu, self.lam, self.kappa, self.bulk, n_iters=n_newton_iters
+        )
+
+    def energy(self, F):
+        if self.model == prox_ops.TET_LINEAR:
+            return prox_ops.energy_tet_linear(F, self.bulk, self.vol)
+        return prox_ops.energy_tet_hyper(
+            F, self.model, self.mu, self.lam, self.kappa, self.bulk, self.vol
+        )
+
+
+_register(TetBatch, ("inds", "Dlocal", "vol", "weight", "mu", "lam", "kappa"), ("model",))
+
+
+@dataclasses.dataclass(frozen=True)
+class TriBatch:
+    """A batch of triangle (cloth) FEM elements."""
+
+    inds: jax.Array  # i32 [T, 3]
+    Dlocal: jax.Array  # [T, 3, 2]
+    area: jax.Array  # [T]
+    weight: jax.Array  # [T]
+    mu: jax.Array
+    lam: jax.Array
+    limit_min: jax.Array  # [T]
+    limit_max: jax.Array  # [T]
+    model: str = "linear"
+
+    @property
+    def n(self) -> int:
+        return self.inds.shape[0]
+
+    @property
+    def bulk(self):
+        return self.lam + (2.0 / 3.0) * self.mu
+
+    def prox(self, zi, n_newton_iters: int = 8):
+        del n_newton_iters
+        return prox_ops.prox_tri(zi, self.limit_min, self.limit_max)
+
+    def energy(self, F):
+        return prox_ops.energy_tri(F, self.bulk, self.area)
+
+
+_register(
+    TriBatch,
+    ("inds", "Dlocal", "area", "weight", "mu", "lam", "limit_min", "limit_max"),
+    ("model",),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PinBatch:
+    """All pinnable vertices (targets/active flags mutable at runtime).
+
+    With the prefactored/Uzawa global step the *set* of pinnable vertices is
+    fixed at initialize; only targets and active flags change
+    (src/Solver.cpp:135-156). target/active are device arrays so
+    ``set_pins`` never recompiles.
+    """
+
+    idx: jax.Array  # i32 [P]
+    target: jax.Array  # [P, 3]
+    active: jax.Array  # bool [P]
+    weight: jax.Array  # [P]
+
+    @property
+    def n(self) -> int:
+        return self.idx.shape[0]
+
+    def prox(self, zi, n_newton_iters: int = 8):
+        del n_newton_iters
+        return prox_ops.prox_pin(zi, self.target, self.active)
+
+
+_register(PinBatch, ("idx", "target", "active", "weight"), ())
+
+
+# ---------------------------------------------------------------------------
+# Host-side builders (numpy)
+# ---------------------------------------------------------------------------
+
+def build_tet_batch(
+    verts: np.ndarray,
+    tets: np.ndarray,
+    lame: Lame,
+    model: str = "linear",
+    vertex_offset: int = 0,
+    dtype=np.float64,
+    kappa: float = 0.0,
+) -> TetBatch:
+    """Build a TetBatch from rest vertices [V,3] and tet indices [T,4].
+
+    Raises on inverted rest tets, like the reference ctor
+    (src/TetEnergyTerm.cpp:42-44).
+    """
+    import jax.numpy as jnp
+
+    verts = np.asarray(verts, dtype=np.float64).reshape(-1, 3)
+    tets = np.asarray(tets, dtype=np.int64).reshape(-1, 4)
+    x4 = verts[tets]  # [T, 4, 3]
+    edges = np.stack(
+        [x4[:, 1] - x4[:, 0], x4[:, 2] - x4[:, 0], x4[:, 3] - x4[:, 0]], axis=-1
+    )  # [T, 3, 3] columns are edges
+    det = np.linalg.det(edges)
+    vol = det / 6.0
+    if np.any(vol < 0):
+        bad = int(np.argmax(vol < 0))
+        raise ValueError(f"TetBatch: inverted initial tet at index {bad} (vol={vol[bad]})")
+    edges_inv = np.linalg.inv(edges)
+    Dlocal = np.einsum("jk,tkc->tjc", _S_TET, edges_inv)  # [T, 4, 3]
+    k = lame.bulk_modulus()
+    weight = np.sqrt(k * vol)
+    T = tets.shape[0]
+    return TetBatch(
+        inds=jnp.asarray(tets + vertex_offset, dtype=np.int32),
+        Dlocal=jnp.asarray(Dlocal, dtype=dtype),
+        vol=jnp.asarray(vol, dtype=dtype),
+        weight=jnp.asarray(weight, dtype=dtype),
+        mu=jnp.full((T,), lame.mu, dtype=dtype),
+        lam=jnp.full((T,), lame.lam, dtype=dtype),
+        kappa=jnp.full((T,), kappa, dtype=dtype),
+        model=model,
+    )
+
+
+def build_tri_batch(
+    verts: np.ndarray,
+    tris: np.ndarray,
+    lame: Lame,
+    vertex_offset: int = 0,
+    dtype=np.float64,
+) -> TriBatch:
+    """Build a TriBatch; validates strain limits and rest orientation
+    (src/TriEnergyTerm.cpp:29-51)."""
+    import jax.numpy as jnp
+
+    if lame.limit_min > 1.0:
+        raise ValueError("TriBatch: strain limit min should be -inf to 1")
+    if lame.limit_max < 1.0:
+        raise ValueError("TriBatch: strain limit max should be 1 to inf")
+
+    verts = np.asarray(verts, dtype=np.float64).reshape(-1, 3)
+    tris = np.asarray(tris, dtype=np.int64).reshape(-1, 3)
+    x3 = verts[tris]  # [T, 3, 3]
+    e12 = x3[:, 1] - x3[:, 0]
+    e13 = x3[:, 2] - x3[:, 0]
+    n1 = e12 / np.linalg.norm(e12, axis=-1, keepdims=True)
+    t2 = e13 - np.sum(e13 * n1, axis=-1, keepdims=True) * n1
+    n2 = t2 / np.linalg.norm(t2, axis=-1, keepdims=True)
+    basis = np.stack([n1, n2], axis=-1)  # [T, 3, 2]
+    edges = np.stack([e12, e13], axis=-1)  # [T, 3, 2]
+    rest2d = np.einsum("tjr,tjc->trc", basis, edges)  # [T, 2, 2]
+    det = np.linalg.det(rest2d)
+    area = det / 2.0
+    if np.any(area < 0):
+        raise ValueError("TriBatch: inverted initial pose")
+    rest_inv = np.linalg.inv(rest2d)
+    Dlocal = np.einsum("jk,tkc->tjc", _S_TRI, rest_inv)  # [T, 3, 2]
+    k = lame.bulk_modulus()
+    weight = np.sqrt(k * area)
+    T = tris.shape[0]
+    return TriBatch(
+        inds=jnp.asarray(tris + vertex_offset, dtype=np.int32),
+        Dlocal=jnp.asarray(Dlocal, dtype=dtype),
+        area=jnp.asarray(area, dtype=dtype),
+        weight=jnp.asarray(weight, dtype=dtype),
+        mu=jnp.full((T,), lame.mu, dtype=dtype),
+        lam=jnp.full((T,), lame.lam, dtype=dtype),
+        limit_min=jnp.full((T,), lame.limit_min, dtype=dtype),
+        limit_max=jnp.full((T,), lame.limit_max, dtype=dtype),
+        model="linear",
+    )
+
+
+def build_pin_batch(
+    inds: np.ndarray, targets: np.ndarray, active: Optional[np.ndarray] = None, dtype=np.float64
+) -> PinBatch:
+    import jax.numpy as jnp
+
+    inds = np.asarray(inds, dtype=np.int64).reshape(-1)
+    targets = np.asarray(targets, dtype=np.float64).reshape(-1, 3)
+    P = inds.shape[0]
+    if active is None:
+        active = np.ones((P,), dtype=bool)
+    # "really strong rubber" pin weight (src/SpringEnergyTerm.hpp:47-51)
+    w = np.sqrt(Lame.rubber().bulk_modulus() * 2.0)
+    return PinBatch(
+        idx=jnp.asarray(inds, dtype=np.int32),
+        target=jnp.asarray(targets, dtype=dtype),
+        active=jnp.asarray(active),
+        weight=jnp.full((P,), w, dtype=dtype),
+    )

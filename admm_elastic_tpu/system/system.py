@@ -1,0 +1,173 @@
+"""The assembled simulation system and its matrix-free global operator.
+
+Holds everything ``Solver::initialize`` computes in the reference
+(src/Solver.cpp:167-261), re-expressed without ever forming the sparse D:
+
+  A x = M x + dt^2 * sum_families D_f^T W_f^2 D_f x
+
+is two gathers + a batched contraction + a segment scatter per family.
+Because every element block of A is (local stiffness) ⊗ I3, A is
+component-decoupled: we work with the N x N single-component operator and
+treat the three coordinates as batched right-hand sides. (Only dynamic
+contact penalties couple components; those are handled by the constrained
+solvers on top.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from admm_elastic_tpu.ops import reduction as red
+from admm_elastic_tpu.system.elements import PinBatch, TetBatch, TriBatch
+
+
+@dataclasses.dataclass(frozen=True)
+class System:
+    """Static (per-initialize) simulation system."""
+
+    masses: jax.Array  # [N] per-vertex scalar mass (x3 identical comps)
+    tets: Tuple[TetBatch, ...]
+    tris: Tuple[TriBatch, ...]
+    pins: Optional[PinBatch]  # pins-as-energies (linsolver 0/2) or None
+    dt: float  # static: A is assembled/prefactored for this dt
+
+    @property
+    def n_verts(self) -> int:
+        return self.masses.shape[0]
+
+    @property
+    def dt2(self) -> float:
+        return self.dt * self.dt
+
+
+jax.tree_util.register_dataclass(
+    System, data_fields=("masses", "tets", "tris", "pins"), meta_fields=("dt",)
+)
+
+
+# ---------------------------------------------------------------------------
+# D applies (z layout: list of per-family arrays in order tets, tris, pins)
+# ---------------------------------------------------------------------------
+
+def Dx(system: System, x):
+    """D x as a list of per-family local iterates."""
+    out = []
+    for b in system.tets:
+        out.append(red.tet_Dx(x, b.inds, b.Dlocal))
+    for b in system.tris:
+        out.append(red.tri_Dx(x, b.inds, b.Dlocal))
+    if system.pins is not None:
+        out.append(red.pin_Dx(x, system.pins.idx))
+    return out
+
+
+def DtW2(system: System, g_list):
+    """sum_f D_f^T W_f^2 g_f -> [N,3] (no dt^2 factor)."""
+    n = system.n_verts
+    i = 0
+    parts = []
+    for b in system.tets:
+        w2 = (b.weight * b.weight)[:, None, None]
+        parts.append(red.tet_Dt(w2 * g_list[i], b.inds, b.Dlocal, n))
+        i += 1
+    for b in system.tris:
+        w2 = (b.weight * b.weight)[:, None, None]
+        parts.append(red.tri_Dt(w2 * g_list[i], b.inds, b.Dlocal, n))
+        i += 1
+    if system.pins is not None:
+        w2 = (system.pins.weight * system.pins.weight)[:, None]
+        parts.append(red.pin_Dt(w2 * g_list[i], system.pins.idx, n))
+        i += 1
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def A_mv(system: System, x):
+    """A x = M x + dt^2 D^T W^2 D x, for x [N,3] (or [N,k] batched RHS)."""
+    return system.masses[:, None] * x + system.dt2 * DtW2(system, Dx(system, x))
+
+
+def diag_A(system: System):
+    """diag of the single-component N x N operator (all 3 comps equal)."""
+    n = system.n_verts
+    d = system.masses
+    for b in system.tets:
+        d = d + system.dt2 * red.tet_diag(b.weight * b.weight, b.Dlocal, b.inds, n)
+    for b in system.tris:
+        d = d + system.dt2 * red.tri_diag(b.weight * b.weight, b.Dlocal, b.inds, n)
+    if system.pins is not None:
+        d = d + system.dt2 * red.pin_diag(system.pins.weight**2, system.pins.idx, n)
+    return d
+
+
+def local_step(system: System, x, z_list, u_list, n_newton_iters: int = 8):
+    """One ADMM local step over all families.
+
+    zi = prox(D_i x + u_i); u_i += D_i x - z_i (src/EnergyTerm.hpp:130-140).
+    """
+    dix_list = Dx(system, x)
+    batches = list(system.tets) + list(system.tris) + ([system.pins] if system.pins is not None else [])
+    new_z, new_u = [], []
+    for b, dix, u in zip(batches, dix_list, u_list):
+        zi = b.prox(dix + u, n_newton_iters)
+        new_u.append(u + dix - zi)
+        new_z.append(zi)
+    return new_z, new_u
+
+
+def rhs(system: System, M_xbar, z_list, u_list):
+    """b = M x_bar + dt^2 D^T W^2 (z - u) (src/Solver.cpp:98)."""
+    zu = [z - u for z, u in zip(z_list, u_list)]
+    return M_xbar + system.dt2 * DtW2(system, zu)
+
+
+def total_energy(system: System, x):
+    """sum of element energies at x (debugging aid, reference
+    EnergyTerm::energy wrappers src/EnergyTerm.hpp:142-148)."""
+    dix_list = Dx(system, x)
+    batches = list(system.tets) + list(system.tris)
+    total = jnp.asarray(0.0, x.dtype)
+    for b, dix in zip(batches, dix_list):
+        total = total + jnp.sum(b.energy(dix))
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Simulation state
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SimState:
+    """Dynamic simulation state (a pure pytree; the whole checkpoint).
+
+    The reference's entire state is (m_x, m_v) (src/Solver.hpp:66-67); we
+    add the Uzawa multiplier warm-start carried across solves
+    (src/UzawaCG.hpp:68-74) and the previous active-constraint count used
+    to decide when to reset it.
+    """
+
+    x: jax.Array  # [N, 3]
+    v: jax.Array  # [N, 3]
+    y: jax.Array  # [Hcap] Uzawa multipliers (size 0 if unused)
+    n_active_prev: jax.Array  # i32 scalar
+
+
+jax.tree_util.register_dataclass(
+    SimState, data_fields=("x", "v", "y", "n_active_prev"), meta_fields=()
+)
+
+
+def init_state(x, n_constraint_rows: int = 0) -> SimState:
+    x = jnp.asarray(x)
+    return SimState(
+        x=x,
+        v=jnp.zeros_like(x),
+        y=jnp.zeros((n_constraint_rows,), dtype=x.dtype),
+        n_active_prev=jnp.asarray(-1, dtype=jnp.int32),
+    )

@@ -1,0 +1,36 @@
+"""State checkpoint/resume.
+
+The reference has none (SURVEY §5): its full state is (m_x, m_v). Long
+batched TPU sweeps warrant real checkpointing; the SimState pytree is the
+entire checkpoint surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from admm_elastic_tpu.system.system import SimState
+
+
+def save_state(path: str, state: SimState, **extra):
+    np.savez(
+        path,
+        x=np.asarray(state.x),
+        v=np.asarray(state.v),
+        y=np.asarray(state.y),
+        n_active_prev=np.asarray(state.n_active_prev),
+        **extra,
+    )
+
+
+def load_state(path: str, dtype=None) -> SimState:
+    import jax.numpy as jnp
+
+    with np.load(path) as data:
+        cast = (lambda a: jnp.asarray(a, dtype=dtype)) if dtype else jnp.asarray
+        return SimState(
+            x=cast(data["x"]),
+            v=cast(data["v"]),
+            y=cast(data["y"]),
+            n_active_prev=jnp.asarray(data["n_active_prev"], jnp.int32),
+        )
