@@ -43,7 +43,8 @@ class Hits:
         return self.p_mask.shape[0]
 
     def n_active(self):
-        return jnp.sum(self.p_mask.astype(jnp.int32)) + jnp.sum(self.d_mask.astype(jnp.int32))
+        total = jnp.sum(self.p_mask.astype(jnp.int32)) + jnp.sum(self.d_mask.astype(jnp.int32))
+        return total.astype(jnp.int32)
 
     def dedup(self) -> "Hits":
         """Drop dynamic rows on vertices that already have a passive row."""

@@ -116,13 +116,15 @@ def detect_dynamic(collider: TetMeshCollider, x, query_pts, query_vidx):
       query_vidx: i32 [H] their global indices.
     Returns dict(mask, face [H,3] global, barys [H,3], normal [H,3], dx [H]).
     """
+    from admm_elastic_tpu.ops.svd3 import det3, inv3
+
     tets = collider.tets  # [T,4] global
     x4 = x[tets]  # [T,4,3]
     e = jnp.stack([x4[:, 1] - x4[:, 0], x4[:, 2] - x4[:, 0], x4[:, 3] - x4[:, 0]], axis=-1)
-    det = jnp.linalg.det(e)
+    det = det3(e)
     safe = jnp.abs(det) > 1e-30
     e_safe = jnp.where(safe[:, None, None], e, jnp.eye(3, dtype=e.dtype))
-    einv = jnp.linalg.inv(e_safe)  # [T,3,3]
+    einv = inv3(e_safe)  # [T,3,3] (pure arithmetic; no LAPACK custom call)
     base = x4[:, 0]
 
     d = query_pts[:, None, :] - base[None, :, :]  # [H,T,3]

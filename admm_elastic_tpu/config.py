@@ -47,6 +47,14 @@ class Settings:
     uzawa_tol: float = 1e-10
     pcg_max_iters: int = 200
     pcg_tol: float = 1e-10
+    # Direct solver application mode: "inv" = precomputed A^-1 as one MXU
+    # matmul per solve (fastest on TPU; default), "cho" = two batched
+    # triangular solves. "inv" is also the robust default because XLA:CPU
+    # miscompiles the triangular-solve custom call inside while_loop bodies
+    # (observed with jax 0.9.0: results corrupt from the 3rd iteration on;
+    # see tests/test_lineartet.py history), which "cho" would hit under the
+    # jitted ADMM loop.
+    direct_mode: str = "inv"
     # Fixed iteration count for the batched Newton solve inside the
     # hyperelastic prox (replaces the reference's per-element L-BFGS line
     # search, src/TetEnergyTerm.cpp:133).

@@ -45,7 +45,7 @@ def _solve3x3_sym(H, g):
 
 
 def newton_prox(value_fn, grad_fn, hess_fn, s_init, n_iters: int = 8, n_backtrack: int = 8,
-                tol: float = 1e-6):
+                tol: float = 1e-6, floor: float = 1e-9):
     """Minimize a batch of smooth 3-var objectives with s > 0 barrier.
 
     Args:
@@ -58,9 +58,19 @@ def newton_prox(value_fn, grad_fn, hess_fn, s_init, n_iters: int = 8, n_backtrac
     Returns: s [B,3] approximate minimizer.
     """
 
+    eye3 = jnp.eye(3)
+
     def body(s, _):
         g = grad_fn(s)
         H = hess_fn(s)
+        # Active-set reduction: coordinates pinned at the s>0 barrier with
+        # an inward-pushing gradient are frozen out of the Newton system,
+        # so the pinned coordinate doesn't poison the direction of the
+        # free ones (projected Newton).
+        pinned = (s <= floor * 10.0) & (g > 0.0)
+        free = (~pinned).astype(s.dtype)
+        g = g * free
+        H = H * free[..., :, None] * free[..., None, :] + pinned[..., None] * eye3
         # Levenberg damping if the Hessian is not safely PD: add tau*I with
         # tau based on the most negative Gershgorin bound estimate.
         diag = jnp.stack([H[..., 0, 0], H[..., 1, 1], H[..., 2, 2]], axis=-1)
@@ -81,7 +91,11 @@ def newton_prox(value_fn, grad_fn, hess_fn, s_init, n_iters: int = 8, n_backtrac
         t = jnp.ones(s.shape[:-1], dtype=s.dtype)
         accepted = jnp.zeros(s.shape[:-1], dtype=bool)
         for _ in range(n_backtrack):
-            cand = s - t[..., None] * d
+            # Projected step: clamp to the feasible region so a component
+            # pinned at the barrier doesn't block progress in the others
+            # (boundary minimizers occur for StVK-type psi with inverted
+            # anchors, where the unconstrained minimizer has s_i < 0).
+            cand = jnp.maximum(s - t[..., None] * d, floor)
             fc = value_fn(cand)
             take = (~accepted) & (fc < best_f)
             best_s = jnp.where(take[..., None], cand, best_s)

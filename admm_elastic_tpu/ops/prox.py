@@ -28,7 +28,38 @@ from admm_elastic_tpu.materials import (
     spline_fgh,
 )
 from admm_elastic_tpu.ops.newton import newton_prox
-from admm_elastic_tpu.ops.svd3 import polar_rotation_3x2, signed_svd3
+from admm_elastic_tpu.ops.svd3 import (
+    polar_rotation_3x2,
+    signed_svd3,
+    signed_svd3_jacobi,
+)
+
+# SVD implementation for the prox paths, chosen at trace time:
+#  - TPU: branch-free Jacobi (pure VPU arithmetic — XLA's LAPACK-free SVD
+#    lowering on TPU is an order of magnitude slower for tiny matrices),
+#  - CPU/GPU: LAPACK/cuSOLVER via jnp.linalg.svd (full f64 accuracy for the
+#    inversion-recovery goldens; Jacobi on F^T F loses half the digits for
+#    near-collapsed elements).
+# Override with set_svd_impl("jacobi"|"lapack"|"auto") before initialize.
+_SVD_IMPL = "auto"
+_SVD_SWEEPS = 10
+
+
+def set_svd_impl(impl: str):
+    global _SVD_IMPL
+    assert impl in ("auto", "jacobi", "lapack")
+    globals()["_SVD_IMPL"] = impl
+
+
+def _signed_svd(F):
+    import jax
+
+    impl = _SVD_IMPL
+    if impl == "auto":
+        impl = "jacobi" if jax.default_backend() == "tpu" else "lapack"
+    if impl == "jacobi":
+        return signed_svd3_jacobi(F, sweeps=_SVD_SWEEPS)
+    return signed_svd3(F)
 
 # Model ids for tet families (static per family).
 TET_LINEAR = "linear"
@@ -57,7 +88,7 @@ def prox_tet_linear(zi):
     (src/TetEnergyTerm.cpp:73-92) is exactly proj = U @ V^T (det +1).
     The 0.5(p + zi) blend is valid because w^2 = k * volume.
     """
-    U, _, V = signed_svd3(zi)
+    U, _, V = _signed_svd(zi)
     proj = U @ jnp.swapaxes(V, -1, -2)
     return 0.5 * (proj + zi)
 
@@ -204,7 +235,7 @@ def prox_tet_hyper(zi, model: str, mu, lam, kappa, k, n_iters: int = 8):
     eps-inflated if the element collapsed to a point and sign-rectified if
     inverted.
     """
-    U, S, V = signed_svd3(zi)
+    U, S, V = _signed_svd(zi)
     s0 = S
     eps = 1e-6
     collapsed = jnp.all(jnp.abs(S) < eps, axis=-1, keepdims=True)
@@ -221,7 +252,7 @@ def energy_tet_hyper(F, model: str, mu, lam, kappa, k, vol):
     (src/TetEnergyTerm.cpp:139-151) including its quirk that the quadratic
     penalty contributes 4*k/2*S2^2 for inverted elements (x0 is signed, the
     evaluation point has |S2|)."""
-    _, S, _ = signed_svd3(F)
+    _, S, _ = _signed_svd(F)
     s0 = S
     S = S.at[..., 2].set(jnp.abs(S[..., 2]))
     value, _, _ = _hyper_value_grad_hess(model, mu, lam, kappa, k, s0)

@@ -25,10 +25,34 @@ import jax
 import jax.numpy as jnp
 
 
+def det3(M):
+    """Pure-arithmetic 3x3 determinant (batched).
+
+    jnp.linalg.det lowers to an LU custom call on CPU; besides being slow
+    for 3x3, XLA:CPU (jax 0.9.0) miscompiles fusions that mix LAPACK custom
+    calls (observed: svd + det + elementwise in one jit produced corrupt
+    output while each op alone was correct). All 3x3 determinants in the
+    compute path use this closed form instead.
+    """
+    r0, r1, r2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+    return jnp.sum(r0 * jnp.cross(r1, r2), axis=-1)
+
+
+def inv3(M, eps: float = 0.0):
+    """Pure-arithmetic 3x3 inverse via the adjugate (batched)."""
+    d = det3(M)
+    safe = jnp.where(jnp.abs(d) < 1e-300, 1.0, d)
+    c0 = jnp.cross(M[..., 1, :], M[..., 2, :])
+    c1 = jnp.cross(M[..., 2, :], M[..., 0, :])
+    c2 = jnp.cross(M[..., 0, :], M[..., 1, :])
+    adjT = jnp.stack([c0, c1, c2], axis=-1)  # columns are cofactor rows
+    return adjT / safe[..., None, None]
+
+
 def _fix_signs(U, S, V):
     """Push reflections of U/V into S[..., 2] so det(U)>0 and det(V)>0."""
-    detU = jnp.linalg.det(U)
-    detV = jnp.linalg.det(V)
+    detU = det3(U)
+    detV = det3(V)
     flipU = jnp.where(detU < 0.0, -1.0, 1.0)
     flipV = jnp.where(detV < 0.0, -1.0, 1.0)
     U = U.at[..., :, 2].mul(flipU[..., None])
@@ -146,10 +170,10 @@ def signed_svd3_jacobi(F, sweeps: int = 6):
     U = jnp.stack([u0, u1, u2], axis=-1)
 
     # det(V) sign: make det(V) > 0 by flipping V's last column.
-    detV = jnp.linalg.det(V)
+    detV = det3(V)
     V = V.at[..., :, 2].mul(jnp.where(detV < 0.0, -1.0, 1.0)[..., None])
     # U built via cross product always has det(U) = +1. Inversion goes to S[2]:
-    detF = jnp.linalg.det(F)
+    detF = det3(F)
     S = S.at[..., 2].mul(jnp.where(detF < 0.0, -1.0, 1.0))
     return U, S, V
 

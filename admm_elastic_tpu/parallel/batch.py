@@ -1,0 +1,155 @@
+"""Scenario batching + device-mesh sharding of the simulation step.
+
+The reference scales only via OpenMP threads on one node (SURVEY §2,
+parallelism inventory). The TPU-native scale axes are:
+
+- **scene axis**: independent scenes / parameter sweeps batched with vmap
+  and sharded data-parallel over a `jax.sharding.Mesh` axis ("scene") —
+  the BASELINE.json 1024-scenario sweep,
+- **shard axis**: the flat vertex dimension sharded over a second mesh
+  axis ("shard") for the global solve; XLA/GSPMD inserts the halo
+  collectives for the element gathers and psums for the CG dot products.
+
+Per-scene material sweeps reuse one topology: the ADMM weights scale as
+w' = w * sqrt(stiffness_scale) (w^2 = k*V, src/TetEnergyTerm.cpp:47), so a
+stiffness sweep is a per-scene rescale of the weight arrays; the
+matrix-free PCG path re-derives its Jacobi preconditioner per scene.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from admm_elastic_tpu import config as cfg
+from admm_elastic_tpu.system import system as sysm
+
+
+def make_sim_mesh(n_scene: Optional[int] = None, n_shard: int = 1, devices=None) -> Mesh:
+    """Build a (scene, shard) device mesh (defaults: all devices on scene)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_scene is None:
+        n_scene = len(devices) // n_shard
+    return Mesh(devices.reshape(n_scene, n_shard), axis_names=("scene", "shard"))
+
+
+def _scale_system(system: sysm.System, scale):
+    """Scale all element stiffnesses by `scale` (weights by sqrt(scale))."""
+    sq = jnp.sqrt(scale)
+    tets = tuple(dataclasses.replace(b, weight=b.weight * sq, mu=b.mu * scale,
+                                     lam=b.lam * scale, kappa=b.kappa * scale)
+                 for b in system.tets)
+    tris = tuple(dataclasses.replace(b, weight=b.weight * sq, mu=b.mu * scale,
+                                     lam=b.lam * scale)
+                 for b in system.tris)
+    return dataclasses.replace(system, tets=tets, tris=tris)
+
+
+@dataclasses.dataclass(frozen=True)
+class ScenarioBatch:
+    """Per-scene dynamic state + sweep parameters. All leading dim S."""
+
+    x: jax.Array  # [S, N, 3]
+    v: jax.Array  # [S, N, 3]
+    y: jax.Array  # [S, H2]
+    n_active_prev: jax.Array  # i32 [S]
+    stiffness_scale: jax.Array  # [S]
+    gravity: jax.Array  # [S]
+
+
+jax.tree_util.register_dataclass(
+    ScenarioBatch,
+    data_fields=("x", "v", "y", "n_active_prev", "stiffness_scale", "gravity"),
+    meta_fields=(),
+)
+
+
+def make_scenario_batch(solver, n_scenes: int, stiffness_scale=None, gravity=None,
+                        jitter: float = 0.0, seed: int = 0) -> ScenarioBatch:
+    """Replicate the solver's initial state S times (optionally jittered)."""
+    st = solver.state
+    dtype = st.x.dtype
+    x = jnp.broadcast_to(st.x, (n_scenes,) + st.x.shape)
+    if jitter > 0.0:
+        key = jax.random.PRNGKey(seed)
+        x = x + jitter * jax.random.normal(key, x.shape, dtype=dtype)
+    if stiffness_scale is None:
+        stiffness_scale = jnp.ones((n_scenes,), dtype=dtype)
+    if gravity is None:
+        gravity = jnp.full((n_scenes,), solver.m_settings.gravity, dtype=dtype)
+    return ScenarioBatch(
+        x=x,
+        v=jnp.zeros_like(x),
+        y=jnp.broadcast_to(st.y, (n_scenes,) + st.y.shape),
+        n_active_prev=jnp.full((n_scenes,), -1, jnp.int32),
+        stiffness_scale=jnp.asarray(stiffness_scale, dtype=dtype),
+        gravity=jnp.asarray(gravity, dtype=dtype),
+    )
+
+
+def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True):
+    """Build a jitted sharded step over a ScenarioBatch.
+
+    Uses the matrix-free PCG global solver (shardable; no per-scene dense
+    factor). The returned function maps ScenarioBatch -> ScenarioBatch.
+    """
+    from admm_elastic_tpu.solver import _step_core
+
+    system = solver.system
+    base_params = solver._params()
+    obstacles = tuple(solver.obstacles)
+    colliders = tuple(solver.colliders)
+    winds = tuple(solver.ext_forces)
+    surf = solver._surf_inds_dev
+    pin_mask = solver._pin_mask
+    pin_target = solver._pin_target
+    prox_iters = solver.m_settings.prox_newton_iters
+
+    def one(x, v, y, na, scale, grav):
+        sys_s = _scale_system(system, scale)
+        diag = sysm.diag_A(sys_s)
+        params = dict(base_params)
+        params["gravity"] = grav
+        state = sysm.SimState(x=x, v=v, y=y, n_active_prev=na)
+        new_state, _ = _step_core(
+            sys_s, diag, obstacles, colliders, winds, surf, pin_mask, pin_target,
+            state, params,
+            linsolver=cfg.PCG, prox_iters=prox_iters, with_passive=True,
+        )
+        return new_state.x, new_state.v, new_state.y, new_state.n_active_prev
+
+    def step(batch: ScenarioBatch) -> ScenarioBatch:
+        x, v, y, na = jax.vmap(one)(
+            batch.x, batch.v, batch.y, batch.n_active_prev,
+            batch.stiffness_scale, batch.gravity,
+        )
+        return dataclasses.replace(batch, x=x, v=v, y=y, n_active_prev=na)
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    # The vertex dimension can only be sharded when divisible by the shard
+    # axis; otherwise fall back to scene-only sharding for x/v.
+    n_verts = solver._n_verts
+    n_shard = mesh.shape.get("shard", 1)
+    xv_spec = P("scene", "shard", None) if n_verts % max(n_shard, 1) == 0 else P("scene", None, None)
+    state_sharding = ScenarioBatch(
+        x=NamedSharding(mesh, xv_spec),
+        v=NamedSharding(mesh, xv_spec),
+        y=NamedSharding(mesh, P("scene")),
+        n_active_prev=NamedSharding(mesh, P("scene")),
+        stiffness_scale=NamedSharding(mesh, P("scene")),
+        gravity=NamedSharding(mesh, P("scene")),
+    )
+    return jax.jit(
+        step,
+        in_shardings=(state_sharding,),
+        out_shardings=state_sharding,
+        donate_argnums=(0,) if donate else (),
+    )

@@ -113,8 +113,7 @@ def _detect(obstacles, colliders, x, surf_inds, with_passive: bool, dtype):
     return hits
 
 
-@partial(jax.jit, static_argnames=("linsolver", "prox_iters", "with_passive"))
-def _step_impl(
+def _step_core(
     system: sysm.System,
     solve_data,
     obstacles,
@@ -213,6 +212,28 @@ def _step_impl(
     return new_state, inner
 
 
+_step_impl = jax.jit(_step_core, static_argnames=("linsolver", "prox_iters", "with_passive"))
+
+
+def _run_core(system, solve_data, obstacles, colliders, wind_forces, surf_inds,
+              pin_mask, pin_target, state, params, n_steps, *,
+              linsolver: int, prox_iters: int, with_passive: bool):
+    """n_steps timesteps fully on device (no host sync between steps)."""
+
+    def body(_, st):
+        st, _ = _step_core(
+            system, solve_data, obstacles, colliders, wind_forces, surf_inds,
+            pin_mask, pin_target, st, params,
+            linsolver=linsolver, prox_iters=prox_iters, with_passive=with_passive,
+        )
+        return st
+
+    return jax.lax.fori_loop(0, n_steps, body, state)
+
+
+_run_impl = jax.jit(_run_core, static_argnames=("linsolver", "prox_iters", "with_passive"))
+
+
 # ---------------------------------------------------------------------------
 # Solver
 # ---------------------------------------------------------------------------
@@ -306,7 +327,7 @@ class Solver:
             return
 
         ls = self.m_settings.linsolver
-        if ls in (cfg.LDLT, cfg.UZAWACG):
+        if ls in (cfg.LDLT, cfg.UZAWACG, cfg.PCG):
             pins = self.system.pins
             if pins is None or pins.n == 0:
                 if new_pins:
@@ -415,9 +436,10 @@ class Solver:
             for (v, t, lame, off) in self._tri_specs
         )
 
-        # Pin energies for prefactored / Uzawa paths (src/Solver.cpp:190-196).
+        # Pin energies for the energy-based-pin paths (src/Solver.cpp:190-196;
+        # PCG is our extension and takes pins as energies like LDLT).
         pins_batch = None
-        if s.linsolver in (cfg.LDLT, cfg.UZAWACG) and self._pins:
+        if s.linsolver in (cfg.LDLT, cfg.UZAWACG, cfg.PCG) and self._pins:
             idxs = np.array(sorted(self._pins.keys()), dtype=np.int64)
             tgts = np.stack([self._pins[int(i)] for i in idxs])
             pins_batch = el.build_pin_batch(idxs, tgts, dtype=dtype)
@@ -546,6 +568,119 @@ class Solver:
         )
         if s.verbose > 0:
             self._runtime.print(s)
+
+    def step_profiled(self):
+        """One timestep with per-phase wall-clock timings (local / collision /
+        global), filling RuntimeData like the reference's per-step print
+        (src/Solver.hpp:54-61, src/Solver.cpp:83-100). Phases run as
+        separate dispatches with device sync, so this is slower than
+        step(); use for profiling only."""
+        assert self.initialized, "call initialize() first"
+        s = self.m_settings
+        system = self.system
+        params = self._params()
+        dt = system.dt
+        rt = RuntimeData()
+        t_all = time.perf_counter()
+
+        x0, v = self.state.x, self.state.v
+        for f in self.ext_forces:
+            v = f.project(dt, x0, v, system.masses)
+        v = v.at[:, 1].add(dt * params["gravity"])
+        x_bar = x0 + dt * v
+        M_xbar = system.masses[:, None] * x_bar
+        z = sysm.Dx(system, x0)
+        u = [jnp.zeros_like(zi) for zi in z]
+        curr_x = x_bar
+        y = self.state.y
+        n_prev = self.state.n_active_prev
+        dtype = self._dtype
+        obstacles = tuple(self.obstacles)
+        colliders = tuple(self.colliders)
+        with_passive = s.linsolver != cfg.NCMCGS
+
+        local_fn = jax.jit(partial(sysm.local_step, n_newton_iters=s.prox_newton_iters))
+        detect_fn = jax.jit(partial(_detect, with_passive=with_passive, dtype=dtype))
+
+        def global_fn(b, curr_x, hits, y, n_prev):
+            if s.linsolver == cfg.LDLT:
+                return direct_mod.solve(self._solve_data, b), y, n_prev, jnp.asarray(1, jnp.int32)
+            if s.linsolver == cfg.NCMCGS:
+                hd = dataclasses.replace(hits, p_mask=jnp.zeros_like(hits.p_mask))
+                x, it = gs_mod.solve(
+                    self._solve_data.ell_cols, self._solve_data.ell_vals,
+                    self._solve_data.diag, self._solve_data.colors,
+                    self._solve_data.colors_mask, b, curr_x, self._pin_mask,
+                    self._pin_target, obstacles, hd, params["ck"],
+                    params["omega"], params["gs_max_iters"], params["gs_tol"])
+                return x, y, n_prev, it
+            if s.linsolver == cfg.UZAWACG:
+                hits = hits.dedup()
+                n_act = hits.n_active()
+                y2 = jnp.where(n_act == n_prev, y, jnp.zeros_like(y))
+                x, y3, it = uzawa_mod.solve(
+                    lambda r: direct_mod.solve(self._solve_data, r), hits,
+                    params["ck"], b, curr_x, y2, params["uzawa_max_iters"],
+                    params["uzawa_tol"])
+                return x, y3, n_act, it
+            x, it = pcg_mod.solve(lambda xx: sysm.A_mv(system, xx),
+                                  self._solve_data, b, curr_x,
+                                  params["pcg_tol"], params["pcg_max_iters"])
+            return x, y, n_prev, it
+
+        global_jit = jax.jit(global_fn)
+        rhs_jit = jax.jit(partial(sysm.rhs, system))
+
+        for _ in range(s.admm_iters):
+            t = time.perf_counter()
+            z, u = jax.block_until_ready(local_fn(system, curr_x, z, u))
+            rt.local_ms += (time.perf_counter() - t) * 1e3
+
+            t = time.perf_counter()
+            hits = jax.block_until_ready(
+                detect_fn(obstacles, colliders, curr_x, self._surf_inds_dev))
+            rt.collision_ms += (time.perf_counter() - t) * 1e3
+
+            t = time.perf_counter()
+            b = rhs_jit(M_xbar, z, u)
+            curr_x, y, n_prev, it = jax.block_until_ready(
+                global_jit(b, curr_x, hits, y, n_prev))
+            rt.global_ms += (time.perf_counter() - t) * 1e3
+            rt.inner_iters += int(it)
+
+        v_new = (curr_x - x0) * (1.0 / dt)
+        self.state = sysm.SimState(x=curr_x, v=v_new, y=y, n_active_prev=n_prev)
+        rt.step_ms = (time.perf_counter() - t_all) * 1e3
+        self._runtime = rt
+        if s.verbose > 0:
+            rt.print(s)
+        return rt
+
+    def run(self, n_steps: int):
+        """Advance n_steps entirely on device (one dispatch, no per-step
+        host sync). Equivalent to calling step() n_steps times with
+        verbose=0; the hot path for benchmarking and batch sweeps."""
+        assert self.initialized, "call initialize() first"
+        s = self.m_settings
+        t0 = time.perf_counter()
+        new_state = _run_impl(
+            self.system,
+            self._solve_data,
+            tuple(self.obstacles),
+            tuple(self.colliders),
+            tuple(self.ext_forces),
+            self._surf_inds_dev,
+            self._pin_mask,
+            self._pin_target,
+            self.state,
+            self._params(),
+            jnp.asarray(n_steps, jnp.int32),
+            linsolver=s.linsolver,
+            prox_iters=s.prox_newton_iters,
+            with_passive=(s.linsolver != cfg.NCMCGS),
+        )
+        self.state = jax.block_until_ready(new_state)
+        self._runtime = RuntimeData(step_ms=(time.perf_counter() - t0) * 1e3 / max(n_steps, 1))
 
     def save_matrix(self, filename: str):
         """Dump the single-component global matrix (src/Solver.cpp:264-269)."""

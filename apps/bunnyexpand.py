@@ -1,0 +1,60 @@
+"""Inversion-recovery demo: bunny collapsed to a point or randomized,
+then recovering (samples/sca2016/bunnyexpand.cpp), NeoHookean, no gravity.
+
+Usage: python apps/bunnyexpand.py [point|rand] [-it N ...]
+"""
+
+import os
+import sys
+
+import numpy as np
+
+from _app import parse_cli, run
+
+from admm_elastic_tpu import Lame, Settings, Solver
+from admm_elastic_tpu import binding
+from admm_elastic_tpu.geometry.factory import make_xform
+from admm_elastic_tpu.geometry.io import load_elenode
+
+DATA = os.environ.get("ADMM_DATA_DIR", "/root/reference/samples/data")
+
+
+def main(argv):
+    single_point = False
+    if argv and argv[0] in ("point", "rand"):
+        single_point = argv[0] == "point"
+        argv = argv[1:]
+
+    settings = Settings(linsolver=0, gravity=0.0)
+    args = parse_cli(settings, argv)
+
+    mesh = load_elenode(os.path.join(DATA, "bunny_1124"))
+    mesh.flags = binding.NOSELFCOLLISION | binding.NEOHOOKEAN
+    mesh.apply_xform(make_xform(rot_deg=20.0, rot_axis=(1, 0, 0)) @ make_xform(scale=(10,) * 3))
+
+    solver = Solver()
+    binding.add_tetmesh(solver, mesh, verbose=settings.verbose > 0)
+    if not solver.initialize(settings):
+        return 1
+
+    # Scramble vertices (bunnyexpand.cpp set_vertices).
+    rng = np.random.default_rng(100)
+    x = solver.x
+    if single_point:
+        x[:] = 0.0
+    else:
+        lo, hi = x.min(0), x.max(0)
+        x = rng.uniform(lo, hi, size=x.shape)
+    solver.x = x
+
+    traj = run(solver, args, surfaces=[(0, len(mesh.vertices), mesh.faces)])
+    # Report recovery quality.
+    from admm_elastic_tpu.geometry.mesh import tet_volumes
+
+    vols = tet_volumes(traj[-1], mesh.tets)
+    print(f"final inverted tets: {(vols <= 0).sum()} / {len(vols)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -1,0 +1,80 @@
+"""Benchmark: ADMM iterations/s on the beam scene (BASELINE.json metric).
+
+Runs the neo-Hookean tet beam (~5k tets) on the available accelerator
+(TPU when run under the driver; honors JAX_PLATFORMS) in f32, and prints
+ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline divides by the measured reference-CPU number recorded in
+benchmarks/BASELINE_MEASURED.json (produced by benchmarks/run_baseline.sh,
+which builds the unmodified reference sources with shim headers and runs
+the identical scene).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+NX, NY, NZ = 40, 5, 5  # 5000 tets, 1476 verts
+ADMM_ITERS = 10
+N_STEPS = 20
+
+
+def main():
+    import jax
+
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks
+
+    mesh = make_tet_blocks(NX, NY, NZ)
+    mesh.flags = binding.NOSELFCOLLISION | binding.NEOHOOKEAN
+
+    solver = Solver()
+    binding.add_tetmesh(solver, mesh, Lame.soft_rubber(), verbose=False)
+    pins = [int(i) for i in np.where(mesh.vertices[:, 0] < 1e-9)[0]]
+    solver.set_pins(pins)
+
+    settings = Settings(
+        verbose=0,
+        admm_iters=ADMM_ITERS,
+        linsolver=0,
+        gravity=-9.8,
+        dtype=np.float32,
+        direct_mode="inv",
+    )
+    assert solver.initialize(settings)
+
+    # Warmup (compile the fused n-step rollout).
+    solver.run(1)
+    jax.block_until_ready(solver.state.x)
+
+    t0 = time.perf_counter()
+    solver.run(N_STEPS)
+    wall = time.perf_counter() - t0
+
+    iters_per_s = N_STEPS * ADMM_ITERS / wall
+
+    vs = None
+    base_path = os.path.join(os.path.dirname(__file__), "benchmarks", "BASELINE_MEASURED.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        ref = base.get("admm_iters_per_s")
+        if ref:
+            vs = iters_per_s / ref
+
+    print(json.dumps({
+        "metric": "ADMM iterations/s, neo-Hookean beam 5000 tets (fp32, 1 chip)",
+        "value": round(iters_per_s, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

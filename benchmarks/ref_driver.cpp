@@ -1,0 +1,179 @@
+// Headless CPU-baseline driver for the reference admm-elastic library.
+//
+// Builds the BASELINE.json beam scene (neo-Hookean tet beam, ~5k tets)
+// against the unmodified reference sources (compiled from /root/reference,
+// with the missing mcloptlib/mclscene submodule surface provided by the
+// shim headers in mcl_shim/). Reports steps/s and ADMM iterations/s plus a
+// final-position checksum so the TPU build can be trajectory-checked
+// against the same scene.
+//
+// Usage: ref_driver [nx ny nz] [admm_iters] [n_steps] [model 0=linear 1=nh 2=stvk] [dumpfile]
+// With a dumpfile, writes the full per-step trajectory (n_steps x dof
+// doubles, raw little-endian) for trajectory-parity checks against the TPU
+// build.
+
+#include <cstdio>
+#include <cstdlib>
+#include <vector>
+
+#include "MCL/MicroTimer.hpp"
+#include "PassiveObject.hpp"
+#include "Solver.hpp"
+#include "TetEnergyTerm.hpp"
+
+using Vec3 = Eigen::Vector3d;
+
+// Structured beam: nx*ny*nz cubes, 5 tets each, parity-alternating —
+// matches admm_elastic_tpu.geometry.factory.make_tet_blocks.
+static void make_beam(int nx, int ny, int nz, std::vector<double>& verts,
+                      std::vector<int>& tets) {
+  auto vid = [&](int i, int j, int k) {
+    return (i * (ny + 1) + j) * (nz + 1) + k;
+  };
+  for (int i = 0; i <= nx; ++i)
+    for (int j = 0; j <= ny; ++j)
+      for (int k = 0; k <= nz; ++k) {
+        verts.push_back(i);
+        verts.push_back(j);
+        verts.push_back(k);
+      }
+  const int even[5][4] = {{0, 1, 3, 5}, {0, 3, 2, 6}, {0, 5, 4, 6},
+                          {3, 5, 6, 7}, {0, 3, 5, 6}};
+  const int odd[5][4] = {{1, 2, 0, 4}, {1, 7, 3, 2}, {1, 4, 5, 7},
+                         {2, 4, 6, 7}, {1, 2, 7, 4}};
+  for (int i = 0; i < nx; ++i)
+    for (int j = 0; j < ny; ++j)
+      for (int k = 0; k < nz; ++k) {
+        int c[8] = {vid(i, j, k),         vid(i + 1, j, k),
+                    vid(i, j + 1, k),     vid(i + 1, j + 1, k),
+                    vid(i, j, k + 1),     vid(i + 1, j, k + 1),
+                    vid(i, j + 1, k + 1), vid(i + 1, j + 1, k + 1)};
+        const int(*pat)[4] = ((i + j + k) % 2 == 0) ? even : odd;
+        for (int t = 0; t < 5; ++t) {
+          int a = c[pat[t][0]], b = c[pat[t][1]], d = c[pat[t][2]],
+              e = c[pat[t][3]];
+          // Ensure positive volume.
+          Vec3 p0(verts[a * 3], verts[a * 3 + 1], verts[a * 3 + 2]);
+          Vec3 p1(verts[b * 3], verts[b * 3 + 1], verts[b * 3 + 2]);
+          Vec3 p2(verts[d * 3], verts[d * 3 + 1], verts[d * 3 + 2]);
+          Vec3 p3(verts[e * 3], verts[e * 3 + 1], verts[e * 3 + 2]);
+          Eigen::Matrix3d E;
+          E.col(0) = p1 - p0;
+          E.col(1) = p2 - p0;
+          E.col(2) = p3 - p0;
+          if (E.determinant() < 0) std::swap(b, d);
+          tets.push_back(a);
+          tets.push_back(b);
+          tets.push_back(d);
+          tets.push_back(e);
+        }
+      }
+}
+
+int main(int argc, char** argv) {
+  int nx = 40, ny = 5, nz = 5, iters = 10, n_steps = 20, model = 1;
+  if (argc > 3) {
+    nx = atoi(argv[1]);
+    ny = atoi(argv[2]);
+    nz = atoi(argv[3]);
+  }
+  if (argc > 4) iters = atoi(argv[4]);
+  if (argc > 5) n_steps = atoi(argv[5]);
+  if (argc > 6) model = atoi(argv[6]);
+  const char* dumpfile = (argc > 7) ? argv[7] : nullptr;
+  int linsolver = (argc > 8) ? atoi(argv[8]) : 0;
+  bool with_floor = (argc > 9);
+  double floor_y = with_floor ? atof(argv[9]) : 0.0;
+
+  std::vector<double> verts;
+  std::vector<int> tets;
+  make_beam(nx, ny, nz, verts, tets);
+  int n_verts = static_cast<int>(verts.size()) / 3;
+  int n_tets = static_cast<int>(tets.size()) / 4;
+
+  admm::Solver solver;
+  admm::Solver::Settings settings;
+  settings.verbose = 0;
+  settings.admm_iters = iters;
+  settings.linsolver = linsolver;
+  settings.gravity = -9.8;
+
+  // Lumped masses at rubber density (1522, AddMeshes.hpp:105).
+  std::vector<double> masses(n_verts * 3, 0.0);
+  for (int t = 0; t < n_tets; ++t) {
+    Vec3 p[4];
+    for (int j = 0; j < 4; ++j)
+      p[j] = Vec3(verts[tets[t * 4 + j] * 3], verts[tets[t * 4 + j] * 3 + 1],
+                  verts[tets[t * 4 + j] * 3 + 2]);
+    Eigen::Matrix3d E;
+    E.col(0) = p[1] - p[0];
+    E.col(1) = p[2] - p[0];
+    E.col(2) = p[3] - p[0];
+    double vol = E.determinant() / 6.0;
+    for (int j = 0; j < 4; ++j) {
+      double m = 1522.0 * vol / 4.0;
+      for (int s = 0; s < 3; ++s) masses[tets[t * 4 + j] * 3 + s] += m;
+    }
+  }
+  solver.add_nodes<double>(verts.data(), masses.data(), n_verts);
+
+  admm::Lame soft_rubber(10000000, 0.399);
+  if (model == 0) {
+    admm::create_tets_from_mesh<double, admm::TetEnergyTerm>(
+        solver.energyterms, verts.data(), tets.data(), n_tets, soft_rubber, 0);
+  } else if (model == 2) {
+    admm::create_tets_from_mesh<double, admm::StVKTet>(
+        solver.energyterms, verts.data(), tets.data(), n_tets, soft_rubber, 0);
+  } else {
+    admm::create_tets_from_mesh<double, admm::NeoHookeanTet>(
+        solver.energyterms, verts.data(), tets.data(), n_tets, soft_rubber, 0);
+  }
+
+  if (with_floor) {
+    solver.add_obstacle(
+        std::make_shared<admm::Floor>(admm::Floor(floor_y)));
+  } else {
+    // Pin the -x face in place (timing/parity scene).
+    std::vector<int> pins;
+    for (int v = 0; v < n_verts; ++v)
+      if (verts[v * 3] < 1e-9) pins.push_back(v);
+    solver.set_pins(pins);
+  }
+
+  mcl::MicroTimer t;
+  if (!solver.initialize(settings)) {
+    fprintf(stderr, "init failed\n");
+    return 1;
+  }
+  double init_ms = t.elapsed_ms();
+
+  FILE* dump = nullptr;
+  if (dumpfile) {
+    dump = fopen(dumpfile, "wb");
+  } else {
+    // Warmup only for timing runs (keeps dumped trajectories aligned with
+    // the TPU build, which dumps from step 0).
+    solver.step();
+  }
+
+  t.reset();
+  for (int s = 0; s < n_steps; ++s) {
+    solver.step();
+    if (dump)
+      fwrite(solver.m_x.data(), sizeof(double), solver.m_x.size(), dump);
+  }
+  double sim_s = t.elapsed_s();
+  if (dump) fclose(dump);
+
+  double checksum = 0.0;
+  for (int i = 0; i < solver.m_x.size(); ++i) checksum += solver.m_x[i];
+
+  printf(
+      "{\"scene\": \"beam\", \"model\": %d, \"n_verts\": %d, \"n_tets\": %d, "
+      "\"admm_iters\": %d, \"n_steps\": %d, \"init_ms\": %.1f, "
+      "\"sim_s\": %.4f, \"steps_per_s\": %.4f, \"admm_iters_per_s\": %.2f, "
+      "\"checksum\": %.8e, \"threads\": %d}\n",
+      model, n_verts, n_tets, iters, n_steps, init_ms, sim_s, n_steps / sim_s,
+      n_steps * iters / sim_s, checksum, omp_get_max_threads());
+  return 0;
+}

@@ -14,4 +14,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Belt and suspenders: a pytest plugin may import jax before this conftest,
+# capturing JAX_PLATFORMS=axon from the shell. Override via config too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,94 @@
+"""Trajectory parity against the actual reference C++ solver.
+
+Builds the unmodified reference sources (benchmarks/build_reference.sh,
+with shim headers for the missing submodules), runs the beam scene, and
+compares full per-step trajectories with the TPU build in f64:
+
+- linear tets use the identical closed-form prox + an exact global solve
+  on both sides, so trajectories must agree to solver roundoff,
+- NeoHookean differs only in the inner 3-dof optimizer (reference L-BFGS
+  vs batched projected Newton), so trajectories agree to a loose tolerance.
+
+This is the SURVEY §7.5 reference-parity harness and the BASELINE.json
+"results match the reference trajectories" criterion.
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(REF) and shutil.which("g++")),
+    reason="reference sources or g++ unavailable",
+)
+
+NX, NY, NZ = 4, 2, 2
+ITERS = 10
+STEPS = 8
+
+
+def _run_reference(model: int, dump: str):
+    subprocess.run(
+        ["bash", os.path.join(HERE, "benchmarks", "build_reference.sh")],
+        check=True, capture_output=True, timeout=500,
+    )
+    subprocess.run(
+        ["/tmp/ref_build/ref_driver", str(NX), str(NY), str(NZ), str(ITERS),
+         str(STEPS), str(model), dump],
+        check=True, capture_output=True, timeout=300,
+    )
+    n_verts = (NX + 1) * (NY + 1) * (NZ + 1)
+    traj = np.fromfile(dump, dtype=np.float64).reshape(STEPS, n_verts, 3)
+    return traj
+
+
+def _run_ours(model: str):
+    from admm_elastic_tpu import Lame, Settings, Solver
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks
+    from admm_elastic_tpu.geometry.mesh import lumped_masses_tet
+
+    mesh = make_tet_blocks(NX, NY, NZ)
+    solver = Solver()
+    masses = lumped_masses_tet(mesh.vertices, mesh.tets, 1522.0)
+    solver.add_nodes(mesh.vertices, masses)
+    lame = Lame.from_youngs_poisson(10000000, 0.399)
+    solver.add_tet_energies(mesh.vertices, mesh.tets, lame, model=model)
+    pins = [int(i) for i in np.where(mesh.vertices[:, 0] < 1e-9)[0]]
+    solver.set_pins(pins)
+    s = Settings(verbose=0, admm_iters=ITERS, linsolver=0, gravity=-9.8,
+                 prox_newton_iters=20)
+    assert solver.initialize(s)
+    traj = []
+    for _ in range(STEPS):
+        solver.step()
+        traj.append(solver.x.copy())
+    return np.stack(traj)
+
+
+def test_linear_trajectory_parity(tmp_path):
+    ref = _run_reference(0, str(tmp_path / "lin.bin"))
+    ours = _run_ours("linear")
+    err = np.abs(ref - ours).max()
+    assert err < 1e-8, f"linear parity: max |dx| = {err}"
+
+
+def test_neohookean_trajectory_parity(tmp_path):
+    ref = _run_reference(1, str(tmp_path / "nh.bin"))
+    ours = _run_ours("neohookean")
+    scale = np.abs(ref).max()
+    err = np.abs(ref - ours).max() / scale
+    assert err < 2e-3, f"neohookean parity: rel max |dx| = {err}"
+
+
+def test_stvk_trajectory_parity(tmp_path):
+    ref = _run_reference(2, str(tmp_path / "stvk.bin"))
+    ours = _run_ours("stvk")
+    scale = np.abs(ref).max()
+    err = np.abs(ref - ours).max() / scale
+    assert err < 2e-3, f"stvk parity: rel max |dx| = {err}"
