@@ -144,6 +144,15 @@ def _step_core(
     z = sysm.Dx(system, x0)
     u = [jnp.zeros_like(zi) for zi in z]
 
+    def apply_Ainv(rhs_):
+        # Prefactored solve + one iterative-refinement pass: recovers the
+        # digits the f32 A^-1 matmul loses to conditioning (pins put
+        # ~dt^2*w_pin^2 / mass ~ 1e5 on the diagonal). One extra matmul +
+        # one matrix-free A apply — negligible next to the local step.
+        xx = direct_mod.solve(solve_data, rhs_)
+        r = rhs_ - sysm.A_mv(system, xx)
+        return xx + direct_mod.solve(solve_data, r)
+
     def admm_iter(_, carry):
         curr_x, z, u, y, n_prev, tot = carry
         # LOCAL (src/Solver.cpp:84-87)
@@ -153,7 +162,7 @@ def _step_core(
         # GLOBAL (src/Solver.cpp:98-99)
         b = sysm.rhs(system, M_xbar, z, u)
         if linsolver == cfg.LDLT:
-            curr_x = direct_mod.solve(solve_data, b)
+            curr_x = apply_Ainv(b)
             it = jnp.asarray(1, jnp.int32)
         elif linsolver == cfg.NCMCGS:
             hits_dyn = dataclasses.replace(hits, p_mask=jnp.zeros_like(hits.p_mask))
@@ -179,7 +188,7 @@ def _step_core(
             n_act = hits.n_active()
             y = jnp.where(n_act == n_prev, y, jnp.zeros_like(y))
             curr_x, y, it = uzawa_mod.solve(
-                lambda rhs_: direct_mod.solve(solve_data, rhs_),
+                apply_Ainv,
                 hits,
                 params["ck"],
                 b,

@@ -26,6 +26,21 @@ import numpy as np
 from admm_elastic_tpu.materials import Lame
 from admm_elastic_tpu.ops import prox as prox_ops
 
+def _use_soa() -> bool:
+    """Trace-time choice of the SoA (TPU) vs AoS+LAPACK (CPU f64) prox path.
+
+    Follows the same switch as the SVD implementation
+    (ops.prox.set_svd_impl): 'jacobi' -> SoA, 'lapack' -> AoS, 'auto' ->
+    SoA on TPU only.
+    """
+    import jax
+
+    impl = prox_ops._SVD_IMPL
+    if impl == "auto":
+        return jax.default_backend() == "tpu"
+    return impl == "jacobi"
+
+
 # Selector matrices: rows are vertices, columns are rest-edge coordinates.
 _S_TET = np.array(
     [[-1.0, -1.0, -1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
@@ -59,6 +74,17 @@ class TetBatch:
         return self.lam + (2.0 / 3.0) * self.mu
 
     def prox(self, zi, n_newton_iters: int = 8):
+        if _use_soa():
+            # TPU fast path: structure-of-arrays kernels (full lane packing;
+            # [T,3,3] tensors waste ~99% of each (8,128) vector tile).
+            from admm_elastic_tpu.ops import hyper_soa, soa
+
+            if self.model == prox_ops.TET_LINEAR:
+                return soa.prox_tet_linear_soa(zi)
+            return hyper_soa.prox_tet_hyper_soa(
+                zi, self.model, self.mu, self.lam, self.kappa, self.bulk,
+                n_iters=n_newton_iters,
+            )
         if self.model == prox_ops.TET_LINEAR:
             return prox_ops.prox_tet_linear(zi)
         return prox_ops.prox_tet_hyper(

@@ -57,6 +57,13 @@ def main():
     solver.run(N_STEPS)
     wall = time.perf_counter() - t0
 
+    # Physics sanity: finite state, pinned face held, beam sagged under
+    # gravity but did not explode.
+    xs = solver.x
+    assert np.isfinite(xs).all(), "non-finite state after rollout"
+    assert np.abs(xs[pins] - mesh.vertices[pins]).max() < 1e-2, "pins not held"
+    assert xs[:, 1].min() > -10.0 and xs[:, 1].min() < mesh.vertices[:, 1].min(), "no sag?"
+
     iters_per_s = N_STEPS * ADMM_ITERS / wall
 
     vs = None
