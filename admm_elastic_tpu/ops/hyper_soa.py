@@ -180,10 +180,13 @@ def newton_soa(value, grad, hess, s, n_iters: int, n_backtrack: int = 8,
     return s
 
 
-def prox_tet_hyper_soa(zi, model: str, mu, lam, kappa, k, n_iters: int = 8,
-                       sweeps: int = 8):
-    """[T,3,3] hyperelastic prox, all internals SoA."""
-    f = soa.unpack33(zi)
+def prox_tet_hyper_tuple(f, model: str, mu, lam, kappa, k, n_iters: int = 8,
+                         sweeps: int = 8):
+    """Hyperelastic prox on a 9-tuple of same-shape arrays (SoA entries).
+
+    Shape-agnostic core shared by the jnp path (arrays shaped [T]) and the
+    Pallas TPU kernel (VMEM rows shaped [1, BT]).
+    """
     U, S, V = soa.signed_svd3_soa(f, sweeps=sweeps)
     s0 = S
     eps = 1e-6
@@ -193,4 +196,13 @@ def prox_tet_hyper_soa(zi, model: str, mu, lam, kappa, k, n_iters: int = 8,
 
     value, grad, hess = _vgh_soa(model, mu, lam, kappa, k, s0)
     S_opt = newton_soa(value, grad, hess, S, n_iters=n_iters)
-    return soa.pack33(soa.compose_usv(U, S_opt, V))
+    return soa.compose_usv(U, S_opt, V)
+
+
+def prox_tet_hyper_soa(zi, model: str, mu, lam, kappa, k, n_iters: int = 8,
+                       sweeps: int = 8):
+    """[T,3,3] hyperelastic prox, all internals SoA."""
+    out = prox_tet_hyper_tuple(
+        soa.unpack33(zi), model, mu, lam, kappa, k, n_iters=n_iters, sweeps=sweeps
+    )
+    return soa.pack33(out)

@@ -248,13 +248,16 @@ def compose_usv(U, S, V):
 
 # --- SoA prox kernels ----------------------------------------------------------
 
-def prox_tet_linear_soa(zi, sweeps: int = 8):
-    """[T,3,3] -> [T,3,3], all internals in SoA layout."""
-    f = unpack33(zi)
+def prox_tet_linear_tuple(f, sweeps: int = 8):
+    """Linear-tet prox on a 9-tuple of same-shape arrays (SoA entries)."""
     U, _, V = signed_svd3_soa(f, sweeps=sweeps)
     proj = matmul33_nt(U, V)
-    out = tuple(0.5 * (p + z) for p, z in zip(proj, f))
-    return pack33(out)
+    return tuple(0.5 * (p + z) for p, z in zip(proj, f))
+
+
+def prox_tet_linear_soa(zi, sweeps: int = 8):
+    """[T,3,3] -> [T,3,3], all internals in SoA layout."""
+    return pack33(prox_tet_linear_tuple(unpack33(zi), sweeps=sweeps))
 
 
 def solve3x3_sym_soa(h6, g):

@@ -74,6 +74,17 @@ class TetBatch:
         return self.lam + (2.0 / 3.0) * self.mu
 
     def prox(self, zi, n_newton_iters: int = 8):
+        from admm_elastic_tpu.ops import pallas_kernels
+
+        if pallas_kernels.pallas_enabled(zi.dtype) and self.model != prox_ops.TET_LINEAR:
+            # TPU fastest path: one fused Pallas kernel for the whole
+            # SVD+Newton chain — a single HBM round-trip. (The linear prox
+            # is too short to amortize the SoA transpose; measured slower
+            # as a Pallas kernel, so it stays on the fused-jnp path.)
+            return pallas_kernels.prox_tet_hyper_pallas(
+                zi, self.model, self.mu, self.lam, self.kappa, self.bulk,
+                n_iters=n_newton_iters,
+            )
         if _use_soa():
             # TPU fast path: structure-of-arrays kernels (full lane packing;
             # [T,3,3] tensors waste ~99% of each (8,128) vector tile).
