@@ -59,6 +59,11 @@ class Settings:
     # hyperelastic prox (replaces the reference's per-element L-BFGS line
     # search, src/TetEnergyTerm.cpp:133).
     prox_newton_iters: int = 8
+    # Iterative-refinement passes after each prefactored direct solve.
+    # Each pass costs one matrix-free A apply + one extra solve and
+    # recovers the digits an f32 A^-1 matmul loses to pin conditioning;
+    # 0 disables (f64, or when parity-level accuracy is not needed).
+    refine_passes: int = 1
 
     def parse_args(self, argv) -> bool:
         """Parse CLI flags; returns True if -help was requested.

@@ -20,6 +20,49 @@ Conventions:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
+
+
+# --- Gather-based transpose apply ---------------------------------------------
+#
+# XLA lowers scatter-add with duplicate indices to a slow sequential/sorted
+# form on TPU. Since the mesh topology is static, we instead precompute, per
+# vertex, the fixed-width list of (element, corner) contributions incident to
+# it; D^T then becomes gather + sum over the width axis — pure vectorized
+# reads, deterministic summation order, no scatter at all.
+
+def build_gather_table(inds: np.ndarray, n_verts: int) -> np.ndarray:
+    """Vertex -> incident (element*arity + corner) table, padded.
+
+    inds: i64/i32 [T, arity] element vertex indices. Returns i32 [N, K]
+    where K = max vertex valence; pad entries point at T*arity (callers
+    append a zero row at that flat position).
+    """
+    inds = np.asarray(inds)
+    t, arity = inds.shape
+    flat = inds.reshape(-1).astype(np.int64)
+    order = np.argsort(flat, kind="stable")
+    sorted_v = flat[order]
+    counts = np.bincount(flat, minlength=n_verts)
+    k = int(counts.max()) if counts.size else 1
+    starts = np.zeros(n_verts + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    table = np.full((n_verts, max(k, 1)), t * arity, dtype=np.int32)
+    within = np.arange(sorted_v.shape[0], dtype=np.int64) - starts[sorted_v]
+    table[sorted_v, within] = order.astype(np.int32)
+    return table
+
+
+def dt_gather(contrib, gather_idx):
+    """sum of per-corner contributions per vertex: [T*arity, 3] -> [N, 3].
+
+    contrib rows beyond the real corners must not exist — a zero pad row is
+    appended here at flat index T*arity (what the table's padding points at).
+    """
+    flat = jnp.concatenate(
+        [contrib, jnp.zeros((1, contrib.shape[1]), dtype=contrib.dtype)], axis=0
+    )
+    return jnp.sum(flat[gather_idx], axis=1)
 
 
 # --- Tets -------------------------------------------------------------------
@@ -33,9 +76,15 @@ def tet_Dx(x, inds, Dlocal):
     return jnp.einsum("tjr,tjc->trc", x4, Dlocal)
 
 
-def tet_Dt(G, inds, Dlocal, n_verts):
-    """D_i^T G scattered into a [N,3] vector; G is [T,3,3]."""
+def tet_Dt(G, inds, Dlocal, n_verts, gather_idx=None):
+    """D_i^T G into a [N,3] vector; G is [T,3,3].
+
+    With gather_idx (precomputed build_gather_table), uses the scatter-free
+    gather-sum path; otherwise falls back to scatter-add.
+    """
     contrib = jnp.einsum("trc,tjc->tjr", G, Dlocal)  # [T, 4, 3]
+    if gather_idx is not None:
+        return dt_gather(contrib.reshape(-1, 3), gather_idx)
     out = jnp.zeros((n_verts, 3), dtype=G.dtype)
     return out.at[inds.reshape(-1)].add(contrib.reshape(-1, 3))
 
@@ -55,9 +104,11 @@ def tri_Dx(x, inds, Dlocal):
     return jnp.einsum("tjr,tjc->trc", x3, Dlocal)
 
 
-def tri_Dt(G, inds, Dlocal, n_verts):
-    """D_i^T G scattered into [N,3]; G is [T,3,2]."""
+def tri_Dt(G, inds, Dlocal, n_verts, gather_idx=None):
+    """D_i^T G into [N,3]; G is [T,3,2]. See tet_Dt for the two paths."""
     contrib = jnp.einsum("trc,tjc->tjr", G, Dlocal)  # [T, 3, 3]
+    if gather_idx is not None:
+        return dt_gather(contrib.reshape(-1, 3), gather_idx)
     out = jnp.zeros((n_verts, 3), dtype=G.dtype)
     return out.at[inds.reshape(-1)].add(contrib.reshape(-1, 3))
 
@@ -75,7 +126,9 @@ def pin_Dx(x, idx):
     return x[idx]
 
 
-def pin_Dt(G, idx, n_verts):
+def pin_Dt(G, idx, n_verts, gather_idx=None):
+    if gather_idx is not None:
+        return dt_gather(G, gather_idx)
     out = jnp.zeros((n_verts, 3), dtype=G.dtype)
     return out.at[idx].add(G)
 

@@ -118,6 +118,11 @@ def _rot_pq(s6, V, p, q):
     aqq = diag[q]
     zero = apq == 0.0
     theta = (aqq - app) / (2.0 * jnp.where(zero, 1.0, apq))
+    # |theta| is clamped: XLA:CPU f64 sqrt() returns NaN for args >~1e49
+    # (observed with jax 0.9.0), and for |theta| > ~1e8 the rotation is
+    # t = 1/(2 theta) to machine precision anyway, so clamping at 1e15 is
+    # mathematically lossless.
+    theta = jnp.clip(theta, -1e15, 1e15)
     t = jnp.sign(theta) / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0))
     t = jnp.where(zero, 0.0, t)
     c = 1.0 / jnp.sqrt(t * t + 1.0)

@@ -128,6 +128,7 @@ def _step_core(
     linsolver: int,
     prox_iters: int,
     with_passive: bool,
+    refine_passes: int = 1,
 ):
     dt = system.dt
     dtype = state.x.dtype
@@ -145,13 +146,20 @@ def _step_core(
     u = [jnp.zeros_like(zi) for zi in z]
 
     def apply_Ainv(rhs_):
-        # Prefactored solve + one iterative-refinement pass: recovers the
+        # Prefactored solve + iterative-refinement passes: each recovers
         # digits the f32 A^-1 matmul loses to conditioning (pins put
-        # ~dt^2*w_pin^2 / mass ~ 1e5 on the diagonal). One extra matmul +
-        # one matrix-free A apply — negligible next to the local step.
+        # ~dt^2*w_pin^2 / mass ~ 1e5 on the diagonal) at the cost of one
+        # matrix-free A apply + one extra solve.
         xx = direct_mod.solve(solve_data, rhs_)
-        r = rhs_ - sysm.A_mv(system, xx)
-        return xx + direct_mod.solve(solve_data, r)
+        for _ in range(refine_passes):
+            # NOTE: the residual must use the FACTORED matrix-free apply
+            # (M x + dt^2 D^T W^2 (D x)) — a dense f32 A @ x loses ~3 digits
+            # to cancellation across the pin-scaled rows and makes the
+            # "refinement" actively harmful (measured 0.88 vs 7e-3 relative
+            # trajectory error on the 50-step beam).
+            r = rhs_ - sysm.A_mv(system, xx)
+            xx = xx + direct_mod.solve(solve_data, r)
+        return xx
 
     def admm_iter(_, carry):
         curr_x, z, u, y, n_prev, tot = carry
@@ -221,12 +229,13 @@ def _step_core(
     return new_state, inner
 
 
-_step_impl = jax.jit(_step_core, static_argnames=("linsolver", "prox_iters", "with_passive"))
+_step_impl = jax.jit(_step_core, static_argnames=("linsolver", "prox_iters", "with_passive", "refine_passes"))
 
 
 def _run_core(system, solve_data, obstacles, colliders, wind_forces, surf_inds,
               pin_mask, pin_target, state, params, n_steps, *,
-              linsolver: int, prox_iters: int, with_passive: bool):
+              linsolver: int, prox_iters: int, with_passive: bool,
+              refine_passes: int = 1):
     """n_steps timesteps fully on device (no host sync between steps)."""
 
     def body(_, st):
@@ -234,13 +243,14 @@ def _run_core(system, solve_data, obstacles, colliders, wind_forces, surf_inds,
             system, solve_data, obstacles, colliders, wind_forces, surf_inds,
             pin_mask, pin_target, st, params,
             linsolver=linsolver, prox_iters=prox_iters, with_passive=with_passive,
+            refine_passes=refine_passes,
         )
         return st
 
     return jax.lax.fori_loop(0, n_steps, body, state)
 
 
-_run_impl = jax.jit(_run_core, static_argnames=("linsolver", "prox_iters", "with_passive"))
+_run_impl = jax.jit(_run_core, static_argnames=("linsolver", "prox_iters", "with_passive", "refine_passes"))
 
 
 # ---------------------------------------------------------------------------
@@ -453,6 +463,31 @@ class Solver:
             tgts = np.stack([self._pins[int(i)] for i in idxs])
             pins_batch = el.build_pin_batch(idxs, tgts, dtype=dtype)
 
+        # Scatter-free D^T: per-family vertex->incident-corner gather tables
+        # (ops.reduction.build_gather_table; XLA lowers duplicate-index
+        # scatter-add poorly on TPU, a gather+sum over static topology wins).
+        from admm_elastic_tpu.ops import reduction as red
+
+        tets = tuple(
+            dataclasses.replace(
+                b, gather_idx=jnp.asarray(red.build_gather_table(np.asarray(b.inds), n))
+            )
+            for b in tets
+        )
+        tris = tuple(
+            dataclasses.replace(
+                b, gather_idx=jnp.asarray(red.build_gather_table(np.asarray(b.inds), n))
+            )
+            for b in tris
+        )
+        if pins_batch is not None:
+            pins_batch = dataclasses.replace(
+                pins_batch,
+                gather_idx=jnp.asarray(
+                    red.build_gather_table(np.asarray(pins_batch.idx)[:, None], n)
+                ),
+            )
+
         self.system = sysm.System(
             masses=jnp.asarray(m_np, dtype=dtype),
             tets=tets,
@@ -569,6 +604,7 @@ class Solver:
             linsolver=s.linsolver,
             prox_iters=s.prox_newton_iters,
             with_passive=(s.linsolver != cfg.NCMCGS),
+            refine_passes=s.refine_passes,
         )
         new_state = jax.block_until_ready(new_state)
         self.state = new_state
@@ -687,6 +723,7 @@ class Solver:
             linsolver=s.linsolver,
             prox_iters=s.prox_newton_iters,
             with_passive=(s.linsolver != cfg.NCMCGS),
+            refine_passes=s.refine_passes,
         )
         self.state = jax.block_until_ready(new_state)
         self._runtime = RuntimeData(step_ms=(time.perf_counter() - t0) * 1e3 / max(n_steps, 1))

@@ -24,33 +24,46 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class DirectData:
-    mat: jax.Array  # [N, N]: Cholesky factor L ("cho") or A^-1 ("inv")
+    mat: jax.Array  # [N, N]: Cholesky factor L ("cho") or (SAS)^-1 ("inv")
+    scale: jax.Array  # [N, 1] Jacobi equilibration s = diag(A)^(-1/2) ("inv")
     mode: str  # "cho" | "inv"
 
 
-jax.tree_util.register_dataclass(DirectData, data_fields=("mat",), meta_fields=("mode",))
+jax.tree_util.register_dataclass(
+    DirectData, data_fields=("mat", "scale"), meta_fields=("mode",)
+)
 
 
 def prepare(A_dense: np.ndarray, dtype, mode: str = "cho") -> DirectData:
-    """One-time factorization (host, always f64 for stability)."""
-    L = np.linalg.cholesky(A_dense)
-    return prepare_from_cholesky(L, dtype, mode)
+    """One-time factorization (host, always f64 for stability).
 
-
-def prepare_from_cholesky(L: np.ndarray, dtype, mode: str = "cho") -> DirectData:
+    "inv" stores the inverse of the *Jacobi-equilibrated* matrix B = S A S,
+    S = diag(A)^(-1/2), applied as x = S (B^-1 (S b)). Equilibration drops
+    the stored matrix's condition number by the diagonal spread (pins put
+    ~dt^2 w_pin^2 on their diagonal entries, ~1e5 x the rest), which is
+    exactly the f32 cancellation error an un-scaled A^-1 matmul suffers.
+    """
     if mode == "inv":
-        n = L.shape[0]
-        # A^-1 = L^-T L^-1; solve L X = I then L^T Ainv = X.
-        eye = np.eye(n)
-        X = np.linalg.solve(L, eye)
-        Ainv = np.linalg.solve(L.T, X)
-        return DirectData(mat=jnp.asarray(Ainv, dtype=dtype), mode="inv")
-    return DirectData(mat=jnp.asarray(L, dtype=dtype), mode="cho")
+        d = np.sqrt(np.diag(A_dense))
+        s = 1.0 / d
+        B = A_dense * s[:, None] * s[None, :]
+        Binv = np.linalg.inv(B)
+        return DirectData(
+            mat=jnp.asarray(Binv, dtype=dtype),
+            scale=jnp.asarray(s[:, None], dtype=dtype),
+            mode="inv",
+        )
+    L = np.linalg.cholesky(A_dense)
+    return DirectData(
+        mat=jnp.asarray(L, dtype=dtype),
+        scale=jnp.ones((L.shape[0], 1), dtype=dtype),
+        mode="cho",
+    )
 
 
 def solve(data: DirectData, b):
     """x = A^-1 b for b [N, k] (k=3 coordinates as batched RHS)."""
     if data.mode == "inv":
-        return data.mat @ b
+        return data.scale * (data.mat @ (data.scale * b))
     y = jax.scipy.linalg.solve_triangular(data.mat, b, lower=True)
     return jax.scipy.linalg.solve_triangular(data.mat.T, y, lower=False)

@@ -63,6 +63,10 @@ class TetBatch:
     mu: jax.Array  # [T]
     lam: jax.Array  # [T]
     kappa: jax.Array  # [T] spline compression stabilizer (0 unless spline)
+    # Scatter-free D^T: vertex -> incident (tet*4+corner) table, i32 [N, K]
+    # (ops.reduction.build_gather_table), attached at Solver.initialize when
+    # the global vertex count is known. None -> scatter-add fallback.
+    gather_idx: Optional[jax.Array] = None
     model: str = "linear"  # static
 
     @property
@@ -110,7 +114,7 @@ class TetBatch:
         )
 
 
-_register(TetBatch, ("inds", "Dlocal", "vol", "weight", "mu", "lam", "kappa"), ("model",))
+_register(TetBatch, ("inds", "Dlocal", "vol", "weight", "mu", "lam", "kappa", "gather_idx"), ("model",))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,6 +129,7 @@ class TriBatch:
     lam: jax.Array
     limit_min: jax.Array  # [T]
     limit_max: jax.Array  # [T]
+    gather_idx: Optional[jax.Array] = None  # see TetBatch.gather_idx
     model: str = "linear"
 
     @property
@@ -145,7 +150,7 @@ class TriBatch:
 
 _register(
     TriBatch,
-    ("inds", "Dlocal", "area", "weight", "mu", "lam", "limit_min", "limit_max"),
+    ("inds", "Dlocal", "area", "weight", "mu", "lam", "limit_min", "limit_max", "gather_idx"),
     ("model",),
 )
 
@@ -164,6 +169,7 @@ class PinBatch:
     target: jax.Array  # [P, 3]
     active: jax.Array  # bool [P]
     weight: jax.Array  # [P]
+    gather_idx: Optional[jax.Array] = None  # see TetBatch.gather_idx
 
     @property
     def n(self) -> int:
@@ -174,7 +180,7 @@ class PinBatch:
         return prox_ops.prox_pin(zi, self.target, self.active)
 
 
-_register(PinBatch, ("idx", "target", "active", "weight"), ())
+_register(PinBatch, ("idx", "target", "active", "weight", "gather_idx"), ())
 
 
 # ---------------------------------------------------------------------------

@@ -72,15 +72,15 @@ def DtW2(system: System, g_list):
     parts = []
     for b in system.tets:
         w2 = (b.weight * b.weight)[:, None, None]
-        parts.append(red.tet_Dt(w2 * g_list[i], b.inds, b.Dlocal, n))
+        parts.append(red.tet_Dt(w2 * g_list[i], b.inds, b.Dlocal, n, b.gather_idx))
         i += 1
     for b in system.tris:
         w2 = (b.weight * b.weight)[:, None, None]
-        parts.append(red.tri_Dt(w2 * g_list[i], b.inds, b.Dlocal, n))
+        parts.append(red.tri_Dt(w2 * g_list[i], b.inds, b.Dlocal, n, b.gather_idx))
         i += 1
     if system.pins is not None:
         w2 = (system.pins.weight * system.pins.weight)[:, None]
-        parts.append(red.pin_Dt(w2 * g_list[i], system.pins.idx, n))
+        parts.append(red.pin_Dt(w2 * g_list[i], system.pins.idx, n, system.pins.gather_idx))
         i += 1
     out = parts[0]
     for p in parts[1:]:
