@@ -59,6 +59,10 @@ class Settings:
     # hyperelastic prox (replaces the reference's per-element L-BFGS line
     # search, src/TetEnergyTerm.cpp:133).
     prox_newton_iters: int = 8
+    # Statically unroll the ADMM loop (admm_iters becomes compile-time):
+    # XLA pipelines across iterations, ~35% lower per-iteration overhead at
+    # ~5k-element scale, at the cost of admm_iters-x compile time.
+    unroll_admm: bool = False
     # Iterative-refinement passes after each prefactored direct solve.
     # Each pass costs one matrix-free A apply + one extra solve and
     # recovers the digits an f32 A^-1 matmul loses to pin conditioning;

@@ -16,6 +16,14 @@ from admm_elastic_tpu.geometry.io import load_elenode
 DATA = os.environ.get("ADMM_DATA_DIR", "/root/reference/samples/data")
 
 
+def _load_or(name, fallback):
+    """Load reference sample data if present, else a procedural stand-in
+    (keeps the demos runnable without the reference checkout)."""
+    if os.path.exists(os.path.join(DATA, name + ".node")):
+        return load_elenode(os.path.join(DATA, name))
+    return fallback()
+
+
 def main(argv):
     settings = Settings(linsolver=1)
     args = parse_cli(settings, argv)
@@ -23,7 +31,12 @@ def main(argv):
     solver = Solver()
     surfaces = []
     for i in range(2):
-        mesh = load_elenode(os.path.join(DATA, "box768"))
+        from admm_elastic_tpu.geometry.factory import make_tet_blocks, make_xform as _xf
+        def _box():
+            m = make_tet_blocks(8, 8, 8, cell=1.0 / 8)
+            m.apply_xform(_xf(trans=(-0.5, -0.5, -0.5)))
+            return m
+        mesh = _load_or("box768", _box)
         mesh.flags = binding.LINEAR
         mesh.apply_xform(make_xform(trans=(0.0, i * 2.0, 0.0)))
         off = binding.add_tetmesh(solver, mesh, Lame.rubber(), verbose=settings.verbose > 0)

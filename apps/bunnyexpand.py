@@ -19,6 +19,14 @@ from admm_elastic_tpu.geometry.io import load_elenode
 DATA = os.environ.get("ADMM_DATA_DIR", "/root/reference/samples/data")
 
 
+def _load_or(name, fallback):
+    """Load reference sample data if present, else a procedural stand-in
+    (keeps the demos runnable without the reference checkout)."""
+    if os.path.exists(os.path.join(DATA, name + ".node")):
+        return load_elenode(os.path.join(DATA, name))
+    return fallback()
+
+
 def main(argv):
     single_point = False
     if argv and argv[0] in ("point", "rand"):
@@ -28,7 +36,8 @@ def main(argv):
     settings = Settings(linsolver=0, gravity=0.0)
     args = parse_cli(settings, argv)
 
-    mesh = load_elenode(os.path.join(DATA, "bunny_1124"))
+    from admm_elastic_tpu.geometry.factory import make_tet_sphere
+    mesh = _load_or("bunny_1124", lambda: make_tet_sphere(0.08, 8))
     mesh.flags = binding.NOSELFCOLLISION | binding.NEOHOOKEAN
     mesh.apply_xform(make_xform(rot_deg=20.0, rot_axis=(1, 0, 0)) @ make_xform(scale=(10,) * 3))
 

@@ -15,11 +15,20 @@ from admm_elastic_tpu.geometry.io import load_elenode
 DATA = os.environ.get("ADMM_DATA_DIR", "/root/reference/samples/data")
 
 
+def _load_or(name, fallback):
+    """Load reference sample data if present, else a procedural stand-in
+    (keeps the demos runnable without the reference checkout)."""
+    if os.path.exists(os.path.join(DATA, name + ".node")):
+        return load_elenode(os.path.join(DATA, name))
+    return fallback()
+
+
 def main(argv):
     settings = Settings(linsolver=1)
     args = parse_cli(settings, argv)
 
-    mesh = load_elenode(os.path.join(DATA, "sphere"))
+    from admm_elastic_tpu.geometry.factory import make_tet_sphere
+    mesh = _load_or("sphere", lambda: make_tet_sphere(0.5, 6))
     mesh.flags = binding.NOSELFCOLLISION | binding.LINEAR
 
     solver = Solver()

@@ -15,11 +15,20 @@ from admm_elastic_tpu.geometry.io import load_elenode
 DATA = os.environ.get("ADMM_DATA_DIR", "/root/reference/samples/data")
 
 
+def _load_or(name, fallback):
+    """Load reference sample data if present, else a procedural stand-in
+    (keeps the demos runnable without the reference checkout)."""
+    if os.path.exists(os.path.join(DATA, name + ".node")):
+        return load_elenode(os.path.join(DATA, name))
+    return fallback()
+
+
 def main(argv):
     settings = Settings(linsolver=2, admm_iters=10)
     args = parse_cli(settings, argv)
 
-    mesh = load_elenode(os.path.join(DATA, "torus"))
+    from admm_elastic_tpu.geometry.factory import make_tet_torus
+    mesh = _load_or("torus", lambda: make_tet_torus(1.0, 0.35, 24, 4))
     mesh.flags = binding.LINEAR  # self-collision enabled (no NOSELFCOLLISION)
     mesh.apply_xform(
         make_xform(trans=(0, 2, 0)) @ make_xform(rot_deg=-3.0, rot_axis=(1, 0, 0))
