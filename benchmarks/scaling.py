@@ -1,0 +1,159 @@
+"""Scaling measurements: scenario-batch throughput + weak scaling.
+
+Two experiments, per the BASELINE.json north star (scenario sweeps + >=70%
+weak-scaling efficiency):
+
+1. ``--throughput`` (default; runs on whatever backend JAX selects, i.e.
+   the real TPU chip under the driver): total ADMM iterations/s across a
+   batch of S independent beam scenes (a material-stiffness sweep) for
+   S in 1..max. Shows how far one chip is from saturation — single-scene
+   simulation leaves the vector units mostly idle.
+
+2. ``--weak`` (forces JAX_PLATFORMS=cpu with 8 virtual devices): fixed
+   scenes-per-device, device count 1/2/4/8 on a ("scene","shard") mesh;
+   reports efficiency = T1 / TD (perfect = 1.0). Virtual CPU devices
+   share the host's cores, so this validates the *sharding program*
+   (GSPMD partitioning + collectives), not real-chip speedup; run on a
+   real multi-chip slice the same script measures the true number.
+
+Writes JSON lines to stdout and (with --out) a JSON file.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NX, NY, NZ = 40, 5, 5  # the bench.py beam: 5000 tets / 1476 verts
+ADMM_ITERS = 10
+STEPS = 10
+
+
+def _build_solver(np, dtype):
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks
+
+    mesh = make_tet_blocks(NX, NY, NZ)
+    mesh.flags = binding.NOSELFCOLLISION | binding.NEOHOOKEAN
+    solver = Solver()
+    binding.add_tetmesh(solver, mesh, Lame.soft_rubber(), verbose=False)
+    pins = [int(i) for i in np.where(mesh.vertices[:, 0] < 1e-9)[0]]
+    solver.set_pins(pins)
+    st = Settings(verbose=0, admm_iters=ADMM_ITERS, linsolver=3, gravity=-9.8,
+                  dtype=dtype, pcg_max_iters=40, pcg_tol=1e-6)
+    assert solver.initialize(st)
+    return solver
+
+
+def _time_batch(jax, step, batch, reps=3):
+    out = step(batch)
+    jax.block_until_ready(out.x)
+    batch = out
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            batch = step(batch)
+        jax.block_until_ready(batch.x)
+        best = min(best, time.perf_counter() - t0)
+    return best / STEPS  # s/step for the whole batch
+
+
+def run_throughput(max_scenes: int):
+    import numpy as np
+    import jax
+
+    from admm_elastic_tpu.parallel import batch as pb
+
+    solver = _build_solver(np, np.float32)
+    results = []
+    s = 1
+    while s <= max_scenes:
+        # Uniform stiffness isolates the batching amplification (a vmapped
+        # PCG while_loop runs to the slowest scene's iteration count, so a
+        # stiffness sweep would conflate physics with utilization).
+        bt = pb.make_scenario_batch(solver, s, stiffness_scale=np.ones(s), jitter=0.01)
+        step = pb.make_batched_step(solver, mesh=None)
+        dt = _time_batch(jax, step, bt)
+        iters = s * ADMM_ITERS / dt
+        results.append({"scenes": s, "ms_per_step": round(dt * 1e3, 3),
+                        "total_admm_iters_per_s": round(iters, 1)})
+        print(json.dumps(results[-1]))
+        s *= 2
+    base = results[0]["total_admm_iters_per_s"]
+    print(json.dumps({
+        "metric": "scenario-batch throughput amplification",
+        "value": round(results[-1]["total_admm_iters_per_s"] / base, 2),
+        "unit": f"x over single scene at S={results[-1]['scenes']}",
+    }))
+    return results
+
+
+def run_weak(scenes_per_device: int):
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+
+    from admm_elastic_tpu.parallel import batch as pb
+
+    devs = jax.devices()
+    solver = _build_solver(np, np.float32)
+    results = []
+    t1 = None
+    d = 1
+    while d <= len(devs):
+        s = scenes_per_device * d
+        mesh = Mesh(np.asarray(devs[:d]).reshape(d, 1), axis_names=("scene", "shard"))
+        bt = pb.make_scenario_batch(solver, s, stiffness_scale=np.ones(s), jitter=0.01)
+        step = pb.make_batched_step(solver, mesh=mesh)
+        dt = _time_batch(jax, step, bt, reps=2)
+        if t1 is None:
+            t1 = dt
+        # On virtual devices sharing this host's core(s), wall-clock cannot
+        # improve with D; what must hold is that the *partitioned program
+        # does no redundant work*: T_D ~= T_1 * D on one core. overhead =
+        # T_D / (T_1 * D); ~1.0 = GSPMD partitioning is work-conserving,
+        # which is the single-host proxy for real-chip weak efficiency.
+        results.append({
+            "devices": d, "scenes": s, "ms_per_step": round(dt * 1e3, 2),
+            "wallclock_ratio_vs_1dev": round(t1 / dt, 3),
+            "partition_overhead": round(dt / (t1 * d), 3),
+        })
+        print(json.dumps(results[-1]))
+        d *= 2
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weak", action="store_true")
+    ap.add_argument("--max-scenes", type=int, default=64)
+    ap.add_argument("--scenes-per-device", type=int, default=2)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    if args.weak:
+        # Force the CPU backend with 8 virtual devices. The env var alone is
+        # not enough when the axon TPU plugin is installed — mirror the test
+        # conftest: set the flag, then override the platform via jax.config.
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        res = {"weak_scaling": run_weak(args.scenes_per_device)}
+    else:
+        res = {"throughput": run_throughput(args.max_scenes)}
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
