@@ -47,6 +47,10 @@ class Settings:
     uzawa_tol: float = 1e-10
     pcg_max_iters: int = 200
     pcg_tol: float = 1e-10
+    # PCG preconditioner: "jacobi" (diagonal) or "twogrid" (aggregation
+    # coarse level + damped-Jacobi smoothing; bounded iteration counts as
+    # the mesh grows — prefer it for >~50k-vertex meshes or tight tols).
+    pcg_precond: str = "jacobi"
     # Direct solver application mode: "inv" = precomputed A^-1 as one MXU
     # matmul per solve (fastest on TPU; default), "cho" = two batched
     # triangular solves. "inv" is also the robust default because XLA:CPU

@@ -100,8 +100,12 @@ def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True):
     factor). The returned function maps ScenarioBatch -> ScenarioBatch.
     """
     from admm_elastic_tpu.solver import _step_core
+    from admm_elastic_tpu.solvers import pcg as pcg_mod
 
     system = solver.system
+    # Base ELL form of A (unscaled); a per-scene stiffness sweep rescales
+    # its stiffness entries (w^2 scales linearly, src/TetEnergyTerm.cpp:47).
+    base_pcg = pcg_mod.prepare(system, solver._dtype)
     base_params = solver._params()
     obstacles = tuple(solver.obstacles)
     colliders = tuple(solver.colliders)
@@ -113,12 +117,16 @@ def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True):
 
     def one(x, v, y, na, scale, grav):
         sys_s = _scale_system(system, scale)
-        diag = sysm.diag_A(sys_s)
+        pcg_s = dataclasses.replace(
+            base_pcg,
+            ell_vals=base_pcg.ell_vals * scale,
+            diag_stiff=base_pcg.diag_stiff * scale,
+        )
         params = dict(base_params)
         params["gravity"] = grav
         state = sysm.SimState(x=x, v=v, y=y, n_active_prev=na)
         new_state, _ = _step_core(
-            sys_s, diag, obstacles, colliders, winds, surf, pin_mask, pin_target,
+            sys_s, pcg_s, obstacles, colliders, winds, surf, pin_mask, pin_target,
             state, params,
             linsolver=cfg.PCG, prox_iters=prox_iters, with_passive=True,
         )

@@ -209,8 +209,8 @@ def _step_core(
             n_prev = n_act
         elif linsolver == cfg.PCG:
             curr_x, it = pcg_mod.solve(
-                lambda xx: sysm.A_mv(system, xx),
-                solve_data,
+                solve_data.apply,
+                solve_data.precondition(),
                 b,
                 curr_x,
                 params["pcg_tol"],
@@ -554,7 +554,9 @@ class Solver:
             A = assembly.assemble_dense(self.system)
             self._solve_data = direct_mod.prepare(A, dtype, mode=getattr(s, "direct_mode", "cho"))
         elif ls == cfg.PCG:
-            self._solve_data = sysm.diag_A(self.system)
+            self._solve_data = pcg_mod.prepare(
+                self.system, dtype, precond=s.pcg_precond
+            )
         else:
             raise ValueError(f"unknown linsolver {ls}")
 
@@ -680,8 +682,8 @@ class Solver:
                     params["ck"], b, curr_x, y2, params["uzawa_max_iters"],
                     params["uzawa_tol"])
                 return x, y3, n_act, it
-            x, it = pcg_mod.solve(lambda xx: sysm.A_mv(system, xx),
-                                  self._solve_data, b, curr_x,
+            x, it = pcg_mod.solve(self._solve_data.apply,
+                                  self._solve_data.precondition(), b, curr_x,
                                   params["pcg_tol"], params["pcg_max_iters"])
             return x, y, n_prev, it
 

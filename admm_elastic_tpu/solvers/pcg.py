@@ -10,22 +10,132 @@ all entries, so under sharding they lower to psum over the mesh axis.
 
 from __future__ import annotations
 
+import dataclasses
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def solve(A_mv, diag, b, x0, tol, max_iters):
-    """Solve A x = b with Jacobi PCG.
+@dataclasses.dataclass(frozen=True)
+class PCGData:
+    """Precomputed ELL form of A for the PCG global step.
+
+    A row gather over the fixed-width neighbor table is ~5x faster on TPU
+    than re-deriving A x through the element pipeline (two gathers + two
+    contractions + vertex gather-sum) every CG iteration; topology and
+    weights are fixed at initialize so A's entries are too. The stiffness
+    part is kept separate from the mass diagonal so a per-scene stiffness
+    sweep is a scalar rescale (parallel/batch.py).
+    """
+
+    ell_cols: jax.Array  # i32 [N, K] off-diagonal neighbor columns
+    ell_vals: jax.Array  # [N, K] off-diagonal A entries (pad = 0)
+    diag_mass: jax.Array  # [N] lumped masses
+    diag_stiff: jax.Array  # [N] dt^2 D^T W^2 D diagonal
+    # Two-grid preconditioner level (None -> plain Jacobi). agg maps each
+    # vertex to its aggregate; coarse_inv is the dense inverse of the
+    # Galerkin coarse operator P^T A P (piecewise-constant P), so both
+    # transfers are one segment_sum / one gather and the coarse solve is
+    # one MXU matmul. Iteration counts stay bounded as the mesh grows
+    # (Jacobi CG grows ~O(1/h)): 160k-tet beam, tol 1e-6: 77 -> 18 iters.
+    agg: Optional[jax.Array] = None  # i32 [N]
+    # [C, Kc] vertex-gather table for the restriction P^T (scatter-free;
+    # pad entries point one past the last row — see reduction.dt_gather).
+    agg_gather: Optional[jax.Array] = None
+    coarse_inv: Optional[jax.Array] = None  # [C, C]
+
+    def diag(self, scale=None):
+        d = self.diag_stiff if scale is None else scale * self.diag_stiff
+        return self.diag_mass + d
+
+    def precondition(self, scale=None, omega: float = 0.7):
+        """Returns M^-1 apply: Jacobi, or a symmetric two-grid V-cycle
+        (damped-Jacobi smooth, coarse correction, damped-Jacobi smooth)
+        when the coarse level is attached."""
+        inv_d = (1.0 / self.diag(scale))[:, None]
+        if self.agg is None:
+            return lambda r: inv_d * r
+
+        n_c = self.coarse_inv.shape[0]
+
+        from admm_elastic_tpu.ops.reduction import dt_gather
+
+        def apply_m(r):
+            z = omega * inv_d * r
+            res = r - self.apply(z, scale)
+            rc = dt_gather(res, self.agg_gather)  # P^T res, scatter-free
+            z = z + (self.coarse_inv @ rc)[self.agg]
+            z = z + omega * inv_d * (r - self.apply(z, scale))
+            return z
+
+        return apply_m
+
+    def apply(self, x, scale=None):
+        """A x for x [N, k]."""
+        vals = self.ell_vals if scale is None else scale * self.ell_vals
+        off = jnp.sum(vals[:, :, None] * x[self.ell_cols], axis=1)
+        return self.diag(scale)[:, None] * x + off
+
+
+jax.tree_util.register_dataclass(
+    PCGData,
+    data_fields=("ell_cols", "ell_vals", "diag_mass", "diag_stiff", "agg", "agg_gather", "coarse_inv"),
+    meta_fields=(),
+)
+
+
+def prepare(system, dtype, precond: str = "jacobi",
+            agg_size: int = 24) -> PCGData:
+    """One-time ELL assembly of A (host); precond in {"jacobi","twogrid"}."""
+    from admm_elastic_tpu.system import assembly
+
+    ell_cols, ell_vals, diag = assembly.assemble_ell(system, dtype=np.float64)
+    masses = np.asarray(system.masses, dtype=np.float64)
+    agg = agg_gather = coarse_inv = None
+    if precond == "twogrid":
+        adj = assembly.vertex_adjacency(system)
+        agg_np = assembly.greedy_aggregates(adj, target_size=agg_size)
+        a_c = assembly.coarse_matrix(system, agg_np)
+        d_c = np.sqrt(np.diag(a_c))
+        s_c = 1.0 / d_c
+        b_inv = np.linalg.inv(a_c * s_c[:, None] * s_c[None, :])
+        from admm_elastic_tpu.ops.reduction import build_gather_table
+
+        agg = jnp.asarray(agg_np)
+        agg_gather = jnp.asarray(build_gather_table(agg_np[:, None], int(agg_np.max()) + 1))
+        coarse_inv = jnp.asarray(s_c[:, None] * b_inv * s_c[None, :], dtype=dtype)
+    elif precond != "jacobi":
+        raise ValueError(f"unknown pcg preconditioner {precond!r}")
+    return PCGData(
+        ell_cols=jnp.asarray(ell_cols),
+        ell_vals=jnp.asarray(ell_vals, dtype=dtype),
+        diag_mass=jnp.asarray(masses, dtype=dtype),
+        diag_stiff=jnp.asarray(diag - masses, dtype=dtype),
+        agg=agg,
+        agg_gather=agg_gather,
+        coarse_inv=coarse_inv,
+    )
+
+
+def solve(A_mv, precond, b, x0, tol, max_iters):
+    """Solve A x = b with preconditioned CG.
 
     Args:
       A_mv: callable [N,3] -> [N,3].
-      diag: [N] Jacobi preconditioner (single component).
+      precond: M^-1 apply — a callable [N,3] -> [N,3], or a [N] Jacobi
+        diagonal (wrapped automatically).
       b, x0: [N, 3].
       tol: relative residual tolerance (on ||r||/||b||).
       max_iters: traced or static int bound.
     Returns (x, iters).
     """
-    inv_d = (1.0 / diag)[:, None]
+    if callable(precond):
+        apply_m = precond
+    else:
+        inv_d = (1.0 / precond)[:, None]
+        apply_m = lambda r: inv_d * r
 
     def dot(a, b_):
         return jnp.sum(a * b_)
@@ -34,7 +144,7 @@ def solve(A_mv, diag, b, x0, tol, max_iters):
     tol2 = tol * tol * jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny)
 
     r0 = b - A_mv(x0)
-    z0 = inv_d * r0
+    z0 = apply_m(r0)
     p0 = z0
     rz0 = dot(r0, z0)
 
@@ -49,7 +159,7 @@ def solve(A_mv, diag, b, x0, tol, max_iters):
         alpha = rz / jnp.where(jnp.abs(denom) < jnp.finfo(b.dtype).tiny, 1.0, denom)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = inv_d * r
+        z = apply_m(r)
         rz_new = dot(r, z)
         beta = rz_new / jnp.where(jnp.abs(rz) < jnp.finfo(b.dtype).tiny, 1.0, rz)
         p = z + beta * p

@@ -102,6 +102,54 @@ def assemble_ell(system, dtype=np.float64):
     return ell_cols, ell_vals.astype(dtype), diag.astype(dtype)
 
 
+def greedy_aggregates(adj: List[np.ndarray], target_size: int = 24) -> np.ndarray:
+    """Greedy BFS aggregation of the vertex graph into ~target_size clusters.
+
+    Host-side, one-time (topology is static). Returns agg i32 [N] cluster
+    ids, contiguous 0..C-1. Used to build the coarse level of the two-grid
+    PCG preconditioner (solvers/pcg.py): piecewise-constant prolongation
+    keeps both transfer operators as a single gather / segment-sum.
+    """
+    n = len(adj)
+    agg = -np.ones(n, dtype=np.int64)
+    c = 0
+    for v in range(n):
+        if agg[v] >= 0:
+            continue
+        agg[v] = c
+        members = 1
+        frontier = [v]
+        while frontier and members < target_size:
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if agg[w] < 0 and members < target_size:
+                        agg[w] = c
+                        members += 1
+                        nxt.append(w)
+            frontier = nxt
+        c += 1
+    return agg.astype(np.int32)
+
+
+def coarse_matrix(system, agg: np.ndarray) -> np.ndarray:
+    """Galerkin coarse operator A_c = P^T A P for piecewise-constant P.
+
+    A_c[a,b] = sum over fine entries (i,j) with agg[i]=a, agg[j]=b; the
+    mass diagonal aggregates likewise. Host f64 dense [C, C].
+    """
+    n = system.n_verts
+    rows, cols, vals = _coo_entries(system)
+    rows, cols, vals = _dedup_coo(rows, cols, vals, n)
+    c = int(agg.max()) + 1
+    A_c = np.zeros((c, c), dtype=np.float64)
+    np.add.at(A_c, (agg[rows], agg[cols]), vals)
+    masses = np.asarray(system.masses, dtype=np.float64)
+    np.add.at(A_c, (np.arange(c), np.arange(c)),
+              np.bincount(agg, weights=masses, minlength=c))
+    return A_c
+
+
 def vertex_adjacency(system) -> List[np.ndarray]:
     """Adjacency lists of the vertex graph (vertices sharing an element)."""
     n = system.n_verts

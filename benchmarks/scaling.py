@@ -127,9 +127,46 @@ def run_weak(scenes_per_device: int):
     return results
 
 
+def run_bigmesh():
+    """Single large mesh (160k tets), ELL-PCG global solver, on the real
+    chip: the regime the matrix-free/ELL design targets (a dense inverse
+    would need 5 GB; the reference's sparse LDLT is single-threaded here).
+    """
+    import numpy as np
+    import jax
+
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks
+
+    mesh = make_tet_blocks(80, 20, 20)  # 160k tets / 35721 verts
+    mesh.flags = binding.NOSELFCOLLISION | binding.NEOHOOKEAN
+    solver = Solver()
+    binding.add_tetmesh(solver, mesh, Lame.soft_rubber(), verbose=False)
+    pins = [int(i) for i in np.where(mesh.vertices[:, 0] < 1e-9)[0]]
+    solver.set_pins(pins)
+    st = Settings(verbose=0, admm_iters=ADMM_ITERS, linsolver=3, gravity=-9.8,
+                  dtype=np.float32, pcg_max_iters=60, pcg_tol=1e-6)
+    assert solver.initialize(st)
+    solver.run(1)
+    jax.block_until_ready(solver.state.x)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        solver.run(STEPS)
+        jax.block_until_ready(solver.state.x)
+        best = min(best, time.perf_counter() - t0)
+    dt = best / STEPS
+    res = {"tets": 160000, "verts": 35721, "ms_per_step": round(dt * 1e3, 1),
+           "admm_iters_per_s": round(ADMM_ITERS / dt, 1),
+           "tet_prox_per_s_millions": round(160000 * ADMM_ITERS / dt / 1e6, 1)}
+    print(json.dumps(res))
+    return res
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--weak", action="store_true")
+    ap.add_argument("--bigmesh", action="store_true")
     ap.add_argument("--max-scenes", type=int, default=64)
     ap.add_argument("--scenes-per-device", type=int, default=2)
     ap.add_argument("--out", type=str, default=None)
@@ -148,6 +185,8 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
         res = {"weak_scaling": run_weak(args.scenes_per_device)}
+    elif args.bigmesh:
+        res = {"bigmesh": run_bigmesh()}
     else:
         res = {"throughput": run_throughput(args.max_scenes)}
     if args.out:
