@@ -63,6 +63,18 @@ class Settings:
     # hyperelastic prox (replaces the reference's per-element L-BFGS line
     # search, src/TetEnergyTerm.cpp:133).
     prox_newton_iters: int = 8
+    # EXPERIMENTAL: Anderson acceleration window m for the ADMM fixed
+    # point (0 = off). Safeguarded type-II AA on the Douglas-Rachford
+    # variable v = Dx + u (Peng et al. 2018, "Anderson Acceleration for
+    # Geometry Optimization and Physics Simulation"). Verified to converge
+    # dramatically faster on smooth fixed-point maps (see
+    # tests/test_anderson.py); on the SVD-based elastic prox iterations
+    # measured neutral-to-slower (the map's nonsmoothness defeats the
+    # secant model), with the residual safeguard keeping it stable —
+    # left opt-in for experimentation. aa_safeguard is the allowed
+    # residual growth before falling back to the plain iterate.
+    aa_window: int = 0
+    aa_safeguard: float = 1.0
     # Statically unroll the ADMM loop (admm_iters becomes compile-time):
     # XLA pipelines across iterations, ~35% lower per-iteration overhead at
     # ~5k-element scale, at the cost of admm_iters-x compile time.

@@ -33,6 +33,7 @@ from admm_elastic_tpu.collision.dynamic import TetMeshCollider, detect_dynamic
 from admm_elastic_tpu.collision.passive import detect_passive
 from admm_elastic_tpu.config import Settings
 from admm_elastic_tpu.materials import Lame
+from admm_elastic_tpu.solvers import anderson as anderson_mod
 from admm_elastic_tpu.solvers import direct as direct_mod
 from admm_elastic_tpu.solvers import gs as gs_mod
 from admm_elastic_tpu.solvers import pcg as pcg_mod
@@ -130,6 +131,7 @@ def _step_core(
     with_passive: bool,
     refine_passes: int = 1,
     unroll_admm_iters: int = 0,
+    aa_window: int = 0,
 ):
     dt = system.dt
     dtype = state.x.dtype
@@ -162,20 +164,13 @@ def _step_core(
             xx = xx + direct_mod.solve(solve_data, r)
         return xx
 
-    def admm_iter(_, carry):
-        curr_x, z, u, y, n_prev, tot = carry
-        # LOCAL (src/Solver.cpp:84-87)
-        z, u = sysm.local_step(system, curr_x, z, u, prox_iters)
-        # COLLISION (src/Solver.cpp:92-93)
-        hits = _detect(obstacles, colliders, curr_x, surf_inds, with_passive, dtype)
-        # GLOBAL (src/Solver.cpp:98-99)
-        b = sysm.rhs(system, M_xbar, z, u)
+    def do_global(b, curr_x, hits, y, n_prev):
+        """One GLOBAL solve (src/Solver.cpp:98-99) with the configured mode."""
         if linsolver == cfg.LDLT:
-            curr_x = apply_Ainv(b)
-            it = jnp.asarray(1, jnp.int32)
-        elif linsolver == cfg.NCMCGS:
+            return apply_Ainv(b), y, n_prev, jnp.asarray(1, jnp.int32)
+        if linsolver == cfg.NCMCGS:
             hits_dyn = dataclasses.replace(hits, p_mask=jnp.zeros_like(hits.p_mask))
-            curr_x, it = gs_mod.solve(
+            x_new, it = gs_mod.solve(
                 solve_data.ell_cols,
                 solve_data.ell_vals,
                 solve_data.diag,
@@ -192,11 +187,12 @@ def _step_core(
                 params["gs_max_iters"],
                 params["gs_tol"],
             )
-        elif linsolver == cfg.UZAWACG:
+            return x_new, y, n_prev, it
+        if linsolver == cfg.UZAWACG:
             hits = hits.dedup()
             n_act = hits.n_active()
             y = jnp.where(n_act == n_prev, y, jnp.zeros_like(y))
-            curr_x, y, it = uzawa_mod.solve(
+            x_new, y, it = uzawa_mod.solve(
                 apply_Ainv,
                 hits,
                 params["ck"],
@@ -206,9 +202,9 @@ def _step_core(
                 params["uzawa_max_iters"],
                 params["uzawa_tol"],
             )
-            n_prev = n_act
-        elif linsolver == cfg.PCG:
-            curr_x, it = pcg_mod.solve(
+            return x_new, y, n_act, it
+        if linsolver == cfg.PCG:
+            x_new, it = pcg_mod.solve(
                 solve_data.apply,
                 solve_data.precondition(),
                 b,
@@ -216,37 +212,93 @@ def _step_core(
                 params["pcg_tol"],
                 params["pcg_max_iters"],
             )
-        else:
-            raise ValueError(f"unknown linsolver {linsolver}")
+            return x_new, y, n_prev, it
+        raise ValueError(f"unknown linsolver {linsolver}")
+
+    def admm_iter(_, carry):
+        curr_x, z, u, y, n_prev, tot = carry
+        # LOCAL (src/Solver.cpp:84-87)
+        z, u = sysm.local_step(system, curr_x, z, u, prox_iters)
+        # COLLISION (src/Solver.cpp:92-93)
+        hits = _detect(obstacles, colliders, curr_x, surf_inds, with_passive, dtype)
+        b = sysm.rhs(system, M_xbar, z, u)
+        curr_x, y, n_prev, it = do_global(b, curr_x, hits, y, n_prev)
         return (curr_x, z, u, y, n_prev, tot + it)
 
-    carry0 = (x_bar, z, u, state.y, state.n_active_prev, jnp.asarray(0, jnp.int32))
-    if unroll_admm_iters > 0:
-        # Static unroll: lets XLA software-pipeline across ADMM iterations
-        # (measured ~35% lower per-iteration overhead at bench scale) at the
-        # cost of a admm_iters-times larger program. params["admm_iters"] is
-        # ignored on this path.
-        carry = carry0
-        for _ in range(unroll_admm_iters):
-            carry = admm_iter(0, carry)
-        curr_x, z, u, y, n_prev, inner = carry
-    else:
-        curr_x, z, u, y, n_prev, inner = jax.lax.fori_loop(
-            0, params["admm_iters"], admm_iter, carry0
+    # --- Anderson-accelerated variant: the same local+global iteration seen
+    # as the Douglas-Rachford map v -> g(v) on v = D x + u, with safeguarded
+    # type-II extrapolation (solvers/anderson.py).
+    batches = (
+        list(system.tets) + list(system.tris)
+        + ([system.pins] if system.pins is not None else [])
+    )
+
+    def _flat(v_list):
+        return jnp.concatenate([vi.reshape(-1) for vi in v_list])
+
+    def _unflat(vec, like):
+        out, o = [], 0
+        for ref in like:
+            n = ref.size
+            out.append(vec[o:o + n].reshape(ref.shape))
+            o += n
+        return out
+
+    def admm_iter_aa(_, carry):
+        v_flat, curr_x, y, n_prev, tot, aa = carry
+        v_list = _unflat(v_flat, z)
+        # LOCAL from v: z = prox(v), u = v - z.
+        z_new = [b_.prox(vi, prox_iters) for b_, vi in zip(batches, v_list)]
+        u_new = [vi - zi for vi, zi in zip(v_list, z_new)]
+        hits = _detect(obstacles, colliders, curr_x, surf_inds, with_passive, dtype)
+        b = sysm.rhs(system, M_xbar, z_new, u_new)
+        x_new, y, n_prev, it = do_global(b, curr_x, hits, y, n_prev)
+        gv = _flat([di + ui for di, ui in zip(sysm.Dx(system, x_new), u_new)])
+        v_next, aa, _ = anderson_mod.update(
+            aa, v_flat, gv, safeguard=params["aa_safeguard"]
         )
+        return (v_next, x_new, y, n_prev, tot + it, aa)
+
+    if aa_window > 0:
+        v0 = _flat(sysm.Dx(system, x_bar))
+        carry0 = (v0, x_bar, state.y, state.n_active_prev,
+                  jnp.asarray(0, jnp.int32), anderson_mod.init(aa_window, v0))
+        if unroll_admm_iters > 0:
+            carry = carry0
+            for _ in range(unroll_admm_iters):
+                carry = admm_iter_aa(0, carry)
+        else:
+            carry = jax.lax.fori_loop(0, params["admm_iters"], admm_iter_aa, carry0)
+        _, curr_x, y, n_prev, inner, _ = carry
+    else:
+        carry0 = (x_bar, z, u, state.y, state.n_active_prev, jnp.asarray(0, jnp.int32))
+        if unroll_admm_iters > 0:
+            # Static unroll: lets XLA software-pipeline across ADMM iterations
+            # (measured ~35% lower per-iteration overhead at bench scale) at the
+            # cost of a admm_iters-times larger program. params["admm_iters"] is
+            # ignored on this path.
+            carry = carry0
+            for _ in range(unroll_admm_iters):
+                carry = admm_iter(0, carry)
+            curr_x, z, u, y, n_prev, inner = carry
+        else:
+            curr_x, z, u, y, n_prev, inner = jax.lax.fori_loop(
+                0, params["admm_iters"], admm_iter, carry0
+            )
 
     v_new = (curr_x - x0) * (1.0 / dt)
     new_state = sysm.SimState(x=curr_x, v=v_new, y=y, n_active_prev=n_prev)
     return new_state, inner
 
 
-_step_impl = jax.jit(_step_core, static_argnames=("linsolver", "prox_iters", "with_passive", "refine_passes", "unroll_admm_iters"))
+_step_impl = jax.jit(_step_core, static_argnames=("linsolver", "prox_iters", "with_passive", "refine_passes", "unroll_admm_iters", "aa_window"))
 
 
 def _run_core(system, solve_data, obstacles, colliders, wind_forces, surf_inds,
               pin_mask, pin_target, state, params, n_steps, *,
               linsolver: int, prox_iters: int, with_passive: bool,
-              refine_passes: int = 1, unroll_admm_iters: int = 0):
+              refine_passes: int = 1, unroll_admm_iters: int = 0,
+              aa_window: int = 0):
     """n_steps timesteps fully on device (no host sync between steps)."""
 
     def body(_, st):
@@ -255,13 +307,14 @@ def _run_core(system, solve_data, obstacles, colliders, wind_forces, surf_inds,
             pin_mask, pin_target, st, params,
             linsolver=linsolver, prox_iters=prox_iters, with_passive=with_passive,
             refine_passes=refine_passes, unroll_admm_iters=unroll_admm_iters,
+            aa_window=aa_window,
         )
         return st
 
     return jax.lax.fori_loop(0, n_steps, body, state)
 
 
-_run_impl = jax.jit(_run_core, static_argnames=("linsolver", "prox_iters", "with_passive", "refine_passes", "unroll_admm_iters"))
+_run_impl = jax.jit(_run_core, static_argnames=("linsolver", "prox_iters", "with_passive", "refine_passes", "unroll_admm_iters", "aa_window"))
 
 
 # ---------------------------------------------------------------------------
@@ -594,6 +647,7 @@ class Solver:
             uzawa_tol=jnp.asarray(s.uzawa_tol, dtype),
             pcg_max_iters=jnp.asarray(s.pcg_max_iters, jnp.int32),
             pcg_tol=jnp.asarray(s.pcg_tol, dtype),
+            aa_safeguard=jnp.asarray(s.aa_safeguard, dtype),
         )
 
     def step(self):
@@ -619,6 +673,7 @@ class Solver:
             with_passive=(s.linsolver != cfg.NCMCGS),
             refine_passes=s.refine_passes,
             unroll_admm_iters=(s.admm_iters if s.unroll_admm else 0),
+            aa_window=s.aa_window,
         )
         new_state = jax.block_until_ready(new_state)
         self.state = new_state
@@ -739,6 +794,7 @@ class Solver:
             with_passive=(s.linsolver != cfg.NCMCGS),
             refine_passes=s.refine_passes,
             unroll_admm_iters=(s.admm_iters if s.unroll_admm else 0),
+            aa_window=s.aa_window,
         )
         self.state = jax.block_until_ready(new_state)
         self._runtime = RuntimeData(step_ms=(time.perf_counter() - t0) * 1e3 / max(n_steps, 1))
