@@ -51,6 +51,14 @@ def _lib():
         ctypes.c_int64,  # n
         ctypes.POINTER(ctypes.c_int32),  # out colors
     ]
+    lib.greedy_aggregates.restype = ctypes.c_int
+    lib.greedy_aggregates.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),  # adj flat
+        ctypes.POINTER(ctypes.c_int64),  # row starts (n+1)
+        ctypes.c_int64,  # n
+        ctypes.c_int32,  # target cluster size
+        ctypes.POINTER(ctypes.c_int32),  # out aggregate ids
+    ]
     _LIB = lib
     return _LIB
 
@@ -74,4 +82,27 @@ def greedy_coloring_native(adj) -> np.ndarray:
     )
     if rc != 0:
         raise RuntimeError(f"greedy_coloring failed rc={rc}")
+    return out
+
+
+def greedy_aggregates_native(adj, target_size: int) -> np.ndarray:
+    """Greedy BFS aggregation in C++; raises if the library is unavailable."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("libgeomcore.so not available")
+    n = len(adj)
+    starts = np.zeros((n + 1,), dtype=np.int64)
+    for i, a in enumerate(adj):
+        starts[i + 1] = starts[i] + len(a)
+    flat = np.concatenate(adj).astype(np.int64) if n and starts[-1] else np.zeros((0,), np.int64)
+    out = np.zeros((n,), dtype=np.int32)
+    rc = lib.greedy_aggregates(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n),
+        ctypes.c_int32(target_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"greedy_aggregates failed rc={rc}")
     return out

@@ -110,6 +110,12 @@ def greedy_aggregates(adj: List[np.ndarray], target_size: int = 24) -> np.ndarra
     PCG preconditioner (solvers/pcg.py): piecewise-constant prolongation
     keeps both transfer operators as a single gather / segment-sum.
     """
+    try:
+        from admm_elastic_tpu.native import greedy_aggregates_native
+
+        return greedy_aggregates_native(adj, target_size)
+    except Exception:
+        pass
     n = len(adj)
     agg = -np.ones(n, dtype=np.int64)
     c = 0
