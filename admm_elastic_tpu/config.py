@@ -79,10 +79,15 @@ class Settings:
     # XLA pipelines across iterations, ~35% lower per-iteration overhead at
     # ~5k-element scale, at the cost of admm_iters-x compile time.
     unroll_admm: bool = False
-    # Iterative-refinement passes after each prefactored direct solve.
-    # Each pass costs one matrix-free A apply + one extra solve and
-    # recovers the digits an f32 A^-1 matmul loses to pin conditioning;
-    # 0 disables (f64, or when parity-level accuracy is not needed).
+    # Iterative-refinement passes after each prefactored direct solve
+    # (direct_mode="inv"). Each pass costs one matrix-free A apply + one
+    # extra solve (~55% of the per-iteration time at bench scale). The
+    # f32 solve error concentrates on the stiff pin rows: without
+    # refinement pinned vertices drift ~2e-2 (beam scale 40) off their
+    # targets; one pass holds them <1e-2 ("infinitely hard" pin
+    # semantics, src/SpringEnergyTerm.hpp). Free-field trajectory error
+    # is f32-prox-noise-dominated either way. Set 0 only when soft pins
+    # are acceptable.
     refine_passes: int = 1
 
     def parse_args(self, argv) -> bool:
