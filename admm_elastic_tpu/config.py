@@ -82,13 +82,12 @@ class Settings:
     # Iterative-refinement passes after each prefactored direct solve
     # (direct_mode="inv"). Each pass costs one matrix-free A apply + one
     # extra solve (~55% of the per-iteration time at bench scale). The
-    # f32 solve error concentrates on the stiff pin rows: without
-    # refinement pinned vertices drift ~2e-2 (beam scale 40) off their
-    # targets; one pass holds them <1e-2 ("infinitely hard" pin
-    # semantics, src/SpringEnergyTerm.hpp). Free-field trajectory error
-    # is f32-prox-noise-dominated either way. Set 0 only when soft pins
-    # are acceptable.
-    refine_passes: int = 1
+    # f32 solve error concentrates on the stiff pin rows, but those are
+    # fixed by the always-on pin-row Jacobi polish (solvers/direct.polish,
+    # measured pin deviation 1e-5 vs 2.4e-2 raw, ~20x cheaper than a
+    # refinement pass); free-field error is f32-prox-noise-dominated, so
+    # refinement is off by default. Raise for tight-tolerance runs.
+    refine_passes: int = 0
 
     def parse_args(self, argv) -> bool:
         """Parse CLI flags; returns True if -help was requested.

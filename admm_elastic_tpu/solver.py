@@ -162,7 +162,9 @@ def _step_core(
             # trajectory error on the 50-step beam).
             r = rhs_ - sysm.A_mv(system, xx)
             xx = xx + direct_mod.solve(solve_data, r)
-        return xx
+        # Pin-row Jacobi polish: restores hard-pin accuracy in f32 for the
+        # cost of one tiny gather (see solvers/direct.polish).
+        return direct_mod.polish(solve_data, xx, rhs_)
 
     def do_global(b, curr_x, hits, y, n_prev):
         """One GLOBAL solve (src/Solver.cpp:98-99) with the configured mode."""
@@ -583,6 +585,15 @@ class Solver:
         self._surf_inds_dev = jnp.asarray(surf, dtype=jnp.int32)
 
         # Global solver data.
+        def _pin_rows():
+            """ELL rows of A restricted to the pinned vertices (for the
+            f32 pin-row polish, solvers/direct.polish)."""
+            if self.system.pins is None or self.system.pins.n == 0:
+                return None
+            cols, vals, diag = assembly.assemble_ell(self.system, dtype=np.float64)
+            idx = np.asarray(self.system.pins.idx)
+            return idx, cols[idx], vals[idx], diag[idx]
+
         ls = s.linsolver
         if ls == cfg.LDLT:
             if has_cobjs:
@@ -590,7 +601,9 @@ class Solver:
                     "**Solver::add_obstacle Error: No collisions with LDLT solver"
                 )
             A = assembly.assemble_dense(self.system)
-            self._solve_data = direct_mod.prepare(A, dtype, mode=getattr(s, "direct_mode", "cho"))
+            self._solve_data = direct_mod.prepare(
+                A, dtype, mode=getattr(s, "direct_mode", "cho"), pin_rows=_pin_rows()
+            )
         elif ls == cfg.NCMCGS:
             ell_cols, ell_vals, diag = assembly.assemble_ell(self.system, dtype=dtype)
             adj = assembly.vertex_adjacency(self.system)
@@ -605,7 +618,9 @@ class Solver:
             )
         elif ls == cfg.UZAWACG:
             A = assembly.assemble_dense(self.system)
-            self._solve_data = direct_mod.prepare(A, dtype, mode=getattr(s, "direct_mode", "cho"))
+            self._solve_data = direct_mod.prepare(
+                A, dtype, mode=getattr(s, "direct_mode", "cho"), pin_rows=_pin_rows()
+            )
         elif ls == cfg.PCG:
             self._solve_data = pcg_mod.prepare(
                 self.system, dtype, precond=s.pcg_precond

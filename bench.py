@@ -67,7 +67,7 @@ def main():
     # sagged under gravity but did not explode.
     xs = solver.x
     assert np.isfinite(xs).all(), "non-finite state after rollout"
-    assert np.abs(xs[pins] - mesh.vertices[pins]).max() < 1e-2, "pins not held"
+    assert np.abs(xs[pins] - mesh.vertices[pins]).max() < 1e-3, "pins not held"
     assert xs[:, 1].min() > -60.0 and xs[:, 1].min() < mesh.vertices[:, 1].min(), "no sag?"
 
     # Best-of-reps: the TPU is reached through a tunnel whose dispatch
