@@ -733,7 +733,8 @@ class Solver:
 
         def global_fn(b, curr_x, hits, y, n_prev):
             if s.linsolver == cfg.LDLT:
-                return direct_mod.solve(self._solve_data, b), y, n_prev, jnp.asarray(1, jnp.int32)
+                x = direct_mod.polish(self._solve_data, direct_mod.solve(self._solve_data, b), b)
+                return x, y, n_prev, jnp.asarray(1, jnp.int32)
             if s.linsolver == cfg.NCMCGS:
                 hd = dataclasses.replace(hits, p_mask=jnp.zeros_like(hits.p_mask))
                 x, it = gs_mod.solve(
@@ -748,7 +749,9 @@ class Solver:
                 n_act = hits.n_active()
                 y2 = jnp.where(n_act == n_prev, y, jnp.zeros_like(y))
                 x, y3, it = uzawa_mod.solve(
-                    lambda r: direct_mod.solve(self._solve_data, r), hits,
+                    lambda r: direct_mod.polish(self._solve_data,
+                                                direct_mod.solve(self._solve_data, r), r),
+                    hits,
                     params["ck"], b, curr_x, y2, params["uzawa_max_iters"],
                     params["uzawa_tol"])
                 return x, y3, n_act, it
