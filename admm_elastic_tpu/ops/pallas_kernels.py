@@ -160,6 +160,90 @@ def prox_tet_hyper_pallas(zi, model: str, mu, lam, kappa, k,
     )
 
 
+# --- fused rows-native local step ----------------------------------------------
+#
+# With z/u carried in SoA rows layout [9, T] end-to-end (system.local_step),
+# the whole ADMM local step for a tet family is ONE kernel with NO
+# transposes: inputs Dx rows + u rows, outputs z rows and the updated dual
+# u' = u + Dx - z. (zi = prox(Dix + ui); ui += Dix - zi,
+# src/EnergyTerm.hpp:130-140.)
+
+
+def _local_hyper_kernel(model, n_iters, sweeps, dix_ref, u_ref, p_ref,
+                        z_ref, uo_ref):
+    dix = _read9(dix_ref)
+    u = _read9(u_ref)
+    v = tuple(d + uu for d, uu in zip(dix, u))
+    mu = p_ref[0:1, :]
+    lam = p_ref[1:2, :]
+    kappa = p_ref[2:3, :]
+    k = p_ref[3:4, :]
+    z = hyper_soa.prox_tet_hyper_tuple(
+        v, model, mu, lam, kappa, k, n_iters=n_iters, sweeps=sweeps
+    )
+    _write9(z_ref, z)
+    _write9(uo_ref, tuple(vv - zz for vv, zz in zip(v, z)))
+
+
+def _pad_rows(rows, pad_t: int, identity: bool):
+    t = rows.shape[1]
+    if identity:
+        eye = jnp.asarray(
+            [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0], rows.dtype
+        )
+        out = jnp.broadcast_to(eye[:, None], (9, pad_t))
+    else:
+        out = jnp.zeros((9, pad_t), rows.dtype)
+    return jax.lax.dynamic_update_slice(out, rows, (0, 0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "n_iters", "sweeps", "interpret")
+)
+def _local_hyper_call(dix, u, mu, lam, kappa, k, model, n_iters, sweeps,
+                      interpret):
+    t = dix.shape[1]
+    pad_t = _pad_t(t)
+    bt = min(_BLOCK_T, pad_t)
+    dix_p = _pad_rows(dix, pad_t, identity=True)
+    u_p = _pad_rows(u, pad_t, identity=False)
+    params = jnp.concatenate(
+        [
+            _pad_param(mu, pad_t),
+            _pad_param(lam, pad_t),
+            _pad_param(kappa, pad_t, fill=0.0),
+            _pad_param(jnp.broadcast_to(k, (t,)), pad_t),
+        ],
+        axis=0,
+    )
+    spec9 = pl.BlockSpec((9, bt), lambda i: (0, i), memory_space=pltpu.VMEM)
+    z, uo = pl.pallas_call(
+        functools.partial(_local_hyper_kernel, model, n_iters, sweeps),
+        grid=(pad_t // bt,),
+        in_specs=[
+            spec9,
+            spec9,
+            pl.BlockSpec((4, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(spec9, spec9),
+        out_shape=(
+            jax.ShapeDtypeStruct((9, pad_t), dix.dtype),
+            jax.ShapeDtypeStruct((9, pad_t), dix.dtype),
+        ),
+        interpret=interpret,
+    )(dix_p, u_p, params)
+    return z[:, :t], uo[:, :t]
+
+
+def local_step_tet_hyper_pallas(dix_rows, u_rows, model: str, mu, lam, kappa,
+                                k, n_iters: int = 8, sweeps: int = 8):
+    """Fused tet local step on rows layout: (z_rows, u_new_rows)."""
+    return _local_hyper_call(
+        dix_rows, u_rows, mu, lam, kappa, k, model, n_iters, sweeps,
+        _interpret(),
+    )
+
+
 # --- linear tet prox -----------------------------------------------------------
 
 

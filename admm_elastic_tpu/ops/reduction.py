@@ -76,6 +76,40 @@ def tet_Dx(x, inds, Dlocal):
     return jnp.einsum("tjr,tjc->trc", x4, Dlocal)
 
 
+def tet_Dx_rows(x, inds, Dlocal):
+    """D_i x in SoA rows layout: [9, T] (row-major F entries).
+
+    Same math as tet_Dx without ever materializing [T, 3, 3]: each of the
+    9 entries is a 4-term elementwise dot, so XLA emits one fusion whose
+    output is already in the lane-packed layout the SoA/Pallas local step
+    consumes — no transposes.
+    """
+    x4 = x[inds]  # [T, 4, 3]
+    rows = [
+        sum(x4[:, j, r] * Dlocal[:, j, c] for j in range(4))
+        for r in range(3)
+        for c in range(3)
+    ]
+    return jnp.stack(rows, axis=0)
+
+
+def tet_Dt_rows(G_rows, inds, Dlocal, n_verts, gather_idx=None):
+    """D_i^T G from SoA rows [9, T] into [N, 3] (see tet_Dt)."""
+    # contrib[t, j, r] = sum_c G[r, c][t] * Dlocal[t, j, c]
+    contrib = jnp.stack(
+        [
+            sum(G_rows[3 * r + c] * Dlocal[:, j, c] for c in range(3))
+            for j in range(4)
+            for r in range(3)
+        ],
+        axis=1,
+    ).reshape(-1, 3)  # [T*4, 3] (j-major, matching inds.reshape(-1))
+    if gather_idx is not None:
+        return dt_gather(contrib, gather_idx)
+    out = jnp.zeros((n_verts, 3), dtype=contrib.dtype)
+    return out.at[inds.reshape(-1)].add(contrib)
+
+
 def tet_Dt(G, inds, Dlocal, n_verts, gather_idx=None):
     """D_i^T G into a [N,3] vector; G is [T,3,3].
 

@@ -21,6 +21,7 @@ import dataclasses
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from admm_elastic_tpu.materials import Lame
@@ -78,33 +79,75 @@ class TetBatch:
         return self.lam + (2.0 / 3.0) * self.mu
 
     def prox(self, zi, n_newton_iters: int = 8):
-        from admm_elastic_tpu.ops import pallas_kernels
+        """Prox of one batch. zi is [T, 3, 3] or SoA rows [9, T]."""
+        rows = zi.ndim == 2
+        from admm_elastic_tpu.ops import hyper_soa, pallas_kernels, soa
 
         if pallas_kernels.pallas_enabled(zi.dtype) and self.model != prox_ops.TET_LINEAR:
             # TPU fastest path: one fused Pallas kernel for the whole
             # SVD+Newton chain — a single HBM round-trip. (The linear prox
-            # is too short to amortize the SoA transpose; measured slower
-            # as a Pallas kernel, so it stays on the fused-jnp path.)
+            # is too short to amortize it; fused-jnp below.)
+            if rows:
+                z, _ = pallas_kernels.local_step_tet_hyper_pallas(
+                    zi, jnp.zeros_like(zi), self.model, self.mu, self.lam,
+                    self.kappa, self.bulk, n_iters=n_newton_iters,
+                )
+                return z
             return pallas_kernels.prox_tet_hyper_pallas(
                 zi, self.model, self.mu, self.lam, self.kappa, self.bulk,
                 n_iters=n_newton_iters,
             )
-        if _use_soa():
-            # TPU fast path: structure-of-arrays kernels (full lane packing;
-            # [T,3,3] tensors waste ~99% of each (8,128) vector tile).
-            from admm_elastic_tpu.ops import hyper_soa, soa
-
+        if _use_soa() or rows:
+            # SoA path (full lane packing; [T,3,3] tensors waste ~99% of
+            # each (8,128) vector tile). Rows input is already SoA.
+            f = tuple(zi[i] for i in range(9)) if rows else soa.unpack33(zi)
             if self.model == prox_ops.TET_LINEAR:
-                return soa.prox_tet_linear_soa(zi)
-            return hyper_soa.prox_tet_hyper_soa(
-                zi, self.model, self.mu, self.lam, self.kappa, self.bulk,
-                n_iters=n_newton_iters,
-            )
+                out = soa.prox_tet_linear_tuple(f)
+            else:
+                out = hyper_soa.prox_tet_hyper_tuple(
+                    f, self.model, self.mu, self.lam, self.kappa, self.bulk,
+                    n_iters=n_newton_iters,
+                )
+            return jnp.stack(out, axis=0) if rows else soa.pack33(out)
         if self.model == prox_ops.TET_LINEAR:
             return prox_ops.prox_tet_linear(zi)
         return prox_ops.prox_tet_hyper(
             zi, self.model, self.mu, self.lam, self.kappa, self.bulk, n_iters=n_newton_iters
         )
+
+    def local_step_rows(self, dix_rows, u_rows, n_newton_iters: int = 8):
+        """Fused local step on SoA rows [9, T]: returns (z, u_new).
+
+        zi = prox(dix + u); u_new = dix + u - zi. On TPU the hyperelastic
+        models run as ONE Pallas kernel (no transposes, dual update
+        included); elsewhere the same math in fused jnp.
+        """
+        from admm_elastic_tpu.ops import hyper_soa, pallas_kernels, soa
+
+        use_aos = not _use_soa() and not pallas_kernels.pallas_enabled(dix_rows.dtype)
+        if use_aos:
+            # CPU f64 parity path (LAPACK SVD prox on [T,3,3]).
+            v = (dix_rows + u_rows).T.reshape(-1, 3, 3)
+            z = self.prox(v, n_newton_iters)
+            z_rows = z.reshape(-1, 9).T
+            return z_rows, dix_rows + u_rows - z_rows
+        if (pallas_kernels.pallas_enabled(dix_rows.dtype)
+                and self.model != prox_ops.TET_LINEAR):
+            return pallas_kernels.local_step_tet_hyper_pallas(
+                dix_rows, u_rows, self.model, self.mu, self.lam, self.kappa,
+                self.bulk, n_iters=n_newton_iters,
+            )
+        v = dix_rows + u_rows
+        f = tuple(v[i] for i in range(9))
+        if self.model == prox_ops.TET_LINEAR:
+            out = soa.prox_tet_linear_tuple(f)
+        else:
+            out = hyper_soa.prox_tet_hyper_tuple(
+                f, self.model, self.mu, self.lam, self.kappa, self.bulk,
+                n_iters=n_newton_iters,
+            )
+        z = jnp.stack(out, axis=0)
+        return z, v - z
 
     def energy(self, F):
         if self.model == prox_ops.TET_LINEAR:

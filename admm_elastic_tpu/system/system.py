@@ -54,10 +54,15 @@ jax.tree_util.register_dataclass(
 # ---------------------------------------------------------------------------
 
 def Dx(system: System, x):
-    """D x as a list of per-family local iterates."""
+    """D x as a list of per-family local iterates.
+
+    Layouts: tet families use SoA rows [9, T] (lane-packed, consumed
+    directly by the SoA/Pallas local step with no transposes); tri
+    families [T, 3, 2]; pins [P, 3].
+    """
     out = []
     for b in system.tets:
-        out.append(red.tet_Dx(x, b.inds, b.Dlocal))
+        out.append(red.tet_Dx_rows(x, b.inds, b.Dlocal))
     for b in system.tris:
         out.append(red.tri_Dx(x, b.inds, b.Dlocal))
     if system.pins is not None:
@@ -71,8 +76,8 @@ def DtW2(system: System, g_list):
     i = 0
     parts = []
     for b in system.tets:
-        w2 = (b.weight * b.weight)[:, None, None]
-        parts.append(red.tet_Dt(w2 * g_list[i], b.inds, b.Dlocal, n, b.gather_idx))
+        w2 = (b.weight * b.weight)[None, :]  # rows layout [9, T]
+        parts.append(red.tet_Dt_rows(w2 * g_list[i], b.inds, b.Dlocal, n, b.gather_idx))
         i += 1
     for b in system.tris:
         w2 = (b.weight * b.weight)[:, None, None]
@@ -110,13 +115,20 @@ def local_step(system: System, x, z_list, u_list, n_newton_iters: int = 8):
     """One ADMM local step over all families.
 
     zi = prox(D_i x + u_i); u_i += D_i x - z_i (src/EnergyTerm.hpp:130-140).
+    Tet families run the fused rows-native path (one Pallas kernel per
+    family computes both z and the dual update on TPU).
     """
     dix_list = Dx(system, x)
     batches = list(system.tets) + list(system.tris) + ([system.pins] if system.pins is not None else [])
     new_z, new_u = [], []
     for b, dix, u in zip(batches, dix_list, u_list):
-        zi = b.prox(dix + u, n_newton_iters)
-        new_u.append(u + dix - zi)
+        fused = getattr(b, "local_step_rows", None)
+        if fused is not None:
+            zi, ui = fused(dix, u, n_newton_iters)
+        else:
+            zi = b.prox(dix + u, n_newton_iters)
+            ui = u + dix - zi
+        new_u.append(ui)
         new_z.append(zi)
     return new_z, new_u
 
@@ -134,6 +146,8 @@ def total_energy(system: System, x):
     batches = list(system.tets) + list(system.tris)
     total = jnp.asarray(0.0, x.dtype)
     for b, dix in zip(batches, dix_list):
+        if dix.ndim == 2:  # tet rows [9, T] -> [T, 3, 3]
+            dix = dix.T.reshape(-1, 3, 3)
         total = total + jnp.sum(b.energy(dix))
     return total
 
