@@ -32,6 +32,10 @@ import numpy as np
 # path's O(H*T) memory).
 BROADPHASE_MIN_TETS = 32768
 CELL_CAP = 24
+# Max simultaneous penetrating vertices processed per collider per detect
+# (the nearest-face stage is O(HIT_CAP * F)); exceeding it sets
+# hit_overflow and defers the extras to the next ADMM iteration's detect.
+HIT_CAP = 2048
 _HASH = (73856093, 19349663, 83492791)  # Teschner et al. spatial hashing
 
 
@@ -255,6 +259,18 @@ def detect_dynamic(collider: TetMeshCollider, x, query_pts, query_vidx):
     rest4 = collider.rest_verts[local_tets]  # [H,4,3]
     rest_x = jnp.sum(hit_bary[..., None] * rest4, axis=-2)  # [H,3]
 
+    # Compact the (few) hit vertices before the O(Hc * F) nearest-face
+    # stage: only penetrating vertices need a projection target, and hits
+    # are bounded by the contact area, not the surface size. Capacity
+    # HIT_CAP with overflow flagged (no silent drops). Stable sort keeps
+    # the hit order, preserving dense-path results.
+    h_total = query_pts.shape[0]
+    hc = min(h_total, HIT_CAP)
+    sel = jnp.argsort(~hit_any, stable=True)[:hc]  # hit indices first
+    hit_overflow = jnp.sum(hit_any) > hc
+    rest_x_c = rest_x[sel]
+    local_q_c = (query_vidx - collider.vert_offset)[sel]
+
     # Nearest rest-pose surface triangle, skipping faces containing the
     # query vertex (local index).
     faces = collider.faces  # [F,3] local
@@ -262,16 +278,23 @@ def detect_dynamic(collider: TetMeshCollider, x, query_pts, query_vidx):
     fb = collider.rest_verts[faces[:, 1]]
     fc = collider.rest_verts[faces[:, 2]]
     closest, bary = _closest_point_triangle(
-        rest_x[:, None, :], fa[None], fb[None], fc[None]
-    )  # [H,F,3]
-    dist = jnp.linalg.norm(closest - rest_x[:, None, :], axis=-1)  # [H,F]
-    local_q = query_vidx - collider.vert_offset
-    face_has_q = jnp.any(faces[None, :, :] == local_q[:, None, None], axis=-1)
+        rest_x_c[:, None, :], fa[None], fb[None], fc[None]
+    )  # [Hc,F,3]
+    dist = jnp.linalg.norm(closest - rest_x_c[:, None, :], axis=-1)  # [Hc,F]
+    face_has_q = jnp.any(faces[None, :, :] == local_q_c[:, None, None], axis=-1)
     big = jnp.finfo(dist.dtype).max
     dist = jnp.where(face_has_q, big, dist)
-    near_f = jnp.argmin(dist, axis=-1)  # [H]
-    near_d = jnp.take_along_axis(dist, near_f[:, None], axis=1)[:, 0]
-    near_bary = jnp.take_along_axis(bary, near_f[:, None, None], axis=1)[:, 0]  # [H,3]
+    near_f_c = jnp.argmin(dist, axis=-1)  # [Hc]
+    near_d_c = jnp.take_along_axis(dist, near_f_c[:, None], axis=1)[:, 0]
+    near_bary_c = jnp.take_along_axis(bary, near_f_c[:, None, None], axis=1)[:, 0]
+
+    # Scatter compacted results back to full [H] (unique sel indices).
+    near_f = jnp.zeros((h_total,), near_f_c.dtype).at[sel].set(near_f_c)
+    near_d = jnp.full((h_total,), big, near_d_c.dtype).at[sel].set(near_d_c)
+    near_bary = jnp.zeros((h_total, 3), near_bary_c.dtype).at[sel].set(near_bary_c)
+    # Vertices beyond capacity lose their hit this iteration (flagged).
+    in_cap = jnp.zeros((h_total,), bool).at[sel].set(True)
+    hit_any = hit_any & in_cap
 
     hit_faces = faces[near_f]  # [H,3] local
     n = jnp.cross(
@@ -289,4 +312,5 @@ def detect_dynamic(collider: TetMeshCollider, x, query_pts, query_vidx):
         # True where the query's cell neighborhood exceeded CELL_CAP (some
         # tets were not candidates) — no silent-drop accounting.
         broad_overflow=broad_overflow,
+        hit_overflow=hit_overflow,
     )

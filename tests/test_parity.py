@@ -92,3 +92,59 @@ def test_stvk_trajectory_parity(tmp_path):
     scale = np.abs(ref).max()
     err = np.abs(ref - ours).max() / scale
     assert err < 2e-3, f"stvk parity: rel max |dx| = {err}"
+
+
+def test_uzawa_floor_contact_parity(tmp_path):
+    """Beam dropped on the floor, Uzawa saddle-point solve (ls=2).
+
+    Uzawa is deterministic (prefactored A + Schur CG, warm-started), and
+    the floor hit rule (deepest passive hit per vertex) matches the
+    reference Collider::detect, so f64 trajectories stay close; contact
+    activation is a hard switch, so the tolerance is looser than the
+    smooth scenes.
+    """
+    import subprocess
+
+    subprocess.run(
+        ["bash", os.path.join(HERE, "benchmarks", "build_reference.sh")],
+        check=True, capture_output=True, timeout=500,
+    )
+    dump = str(tmp_path / "contact.bin")
+    subprocess.run(
+        ["/tmp/ref_build/ref_driver", str(NX), str(NY), str(NZ), str(ITERS),
+         "20", "0", dump, "2", "-1.0"],
+        check=True, capture_output=True, timeout=300,
+    )
+    n_verts = (NX + 1) * (NY + 1) * (NZ + 1)
+    ref = np.fromfile(dump, dtype=np.float64).reshape(20, n_verts, 3)
+
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu import Lame, Settings, Solver
+    from admm_elastic_tpu.collision.passive import Floor
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks
+    from admm_elastic_tpu.geometry.mesh import lumped_masses_tet
+
+    mesh = make_tet_blocks(NX, NY, NZ)
+    solver = Solver()
+    masses = lumped_masses_tet(mesh.vertices, mesh.tets, 1522.0)
+    solver.add_nodes(mesh.vertices, masses)
+    lame = Lame.from_youngs_poisson(10000000, 0.399)
+    solver.add_tet_energies(mesh.vertices, mesh.tets, lame, model="linear")
+    solver.add_obstacle(Floor(y=jnp.asarray(-1.0)))
+    s = Settings(verbose=0, admm_iters=ITERS, linsolver=2, gravity=-9.8)
+    assert solver.initialize(s)
+    traj = []
+    for _ in range(20):
+        solver.step()
+        traj.append(solver.x.copy())
+    ours = np.stack(traj)
+
+    # Both must make contact (floor at -1; beam starts at y in [0, NY]).
+    assert ref[-1, :, 1].min() < -0.9
+    assert ours[-1, :, 1].min() < -0.9
+    # No deep penetration on our side.
+    assert ours[:, :, 1].min() > -1.01
+    scale = np.abs(ref).max()
+    err = np.abs(ref - ours).max() / scale
+    assert err < 1e-2, f"contact parity: rel max |dx| = {err}"  # measured 4.4e-3
