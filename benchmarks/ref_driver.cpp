@@ -7,7 +7,9 @@
 // final-position checksum so the TPU build can be trajectory-checked
 // against the same scene.
 //
-// Usage: ref_driver [nx ny nz] [admm_iters] [n_steps] [model 0=linear 1=nh 2=stvk] [dumpfile]
+// Usage: ref_driver [nx ny nz] [admm_iters] [n_steps] [model 0=linear 1=nh 2=stvk 3=cloth] [dumpfile]
+// model 3 ignores nz and builds an (nx x ny) triangle sheet in the xz
+// plane (y=0), corners at x=0 pinned, with the default strain limits.
 // With a dumpfile, writes the full per-step trajectory (n_steps x dof
 // doubles, raw little-endian) for trajectory-parity checks against the TPU
 // build.
@@ -20,6 +22,7 @@
 #include "PassiveObject.hpp"
 #include "Solver.hpp"
 #include "TetEnergyTerm.hpp"
+#include "TriEnergyTerm.hpp"
 
 using Vec3 = Eigen::Vector3d;
 
@@ -82,14 +85,40 @@ int main(int argc, char** argv) {
   if (argc > 6) model = atoi(argv[6]);
   const char* dumpfile = (argc > 7) ? argv[7] : nullptr;
   int linsolver = (argc > 8) ? atoi(argv[8]) : 0;
-  bool with_floor = (argc > 9);
+  bool with_floor = (argc > 9) && atof(argv[9]) != 9999.0;
   double floor_y = with_floor ? atof(argv[9]) : 0.0;
+  // Optional hard strain limits for the cloth scene (model 3).
+  double limit_min = (argc > 10) ? atof(argv[10]) : -100.0;
+  double limit_max = (argc > 11) ? atof(argv[11]) : 100.0;
 
   std::vector<double> verts;
   std::vector<int> tets;
-  make_beam(nx, ny, nz, verts, tets);
+  std::vector<int> tris;
+  if (model == 3) {
+    // Triangle sheet in the xz plane, matching
+    // admm_elastic_tpu.geometry.factory.make_plane(nx, ny, size=nx).
+    auto vid = [&](int i, int j) { return i * (ny + 1) + j; };
+    for (int i = 0; i <= nx; ++i)
+      for (int j = 0; j <= ny; ++j) {
+        verts.push_back(i);
+        verts.push_back(0.0);
+        verts.push_back(j * (double)nx / ny);
+      }
+    for (int i = 0; i < nx; ++i)
+      for (int j = 0; j < ny; ++j) {
+        tris.push_back(vid(i, j));
+        tris.push_back(vid(i + 1, j));
+        tris.push_back(vid(i, j + 1));
+        tris.push_back(vid(i + 1, j));
+        tris.push_back(vid(i + 1, j + 1));
+        tris.push_back(vid(i, j + 1));
+      }
+  } else {
+    make_beam(nx, ny, nz, verts, tets);
+  }
   int n_verts = static_cast<int>(verts.size()) / 3;
   int n_tets = static_cast<int>(tets.size()) / 4;
+  int n_tris = static_cast<int>(tris.size()) / 3;
 
   admm::Solver solver;
   admm::Solver::Settings settings;
@@ -98,8 +127,18 @@ int main(int argc, char** argv) {
   settings.linsolver = linsolver;
   settings.gravity = -9.8;
 
-  // Lumped masses at rubber density (1522, AddMeshes.hpp:105).
+  // Lumped masses at rubber density (1522, AddMeshes.hpp:105); cloth uses
+  // area-weighted lumping like add_trimesh.
   std::vector<double> masses(n_verts * 3, 0.0);
+  for (int t = 0; t < n_tris; ++t) {
+    Vec3 p0(verts[tris[t * 3] * 3], verts[tris[t * 3] * 3 + 1], verts[tris[t * 3] * 3 + 2]);
+    Vec3 p1(verts[tris[t * 3 + 1] * 3], verts[tris[t * 3 + 1] * 3 + 1], verts[tris[t * 3 + 1] * 3 + 2]);
+    Vec3 p2(verts[tris[t * 3 + 2] * 3], verts[tris[t * 3 + 2] * 3 + 1], verts[tris[t * 3 + 2] * 3 + 2]);
+    double area = 0.5 * ((p1 - p0).cross(p2 - p0)).norm();
+    for (int j = 0; j < 3; ++j)
+      for (int sdim = 0; sdim < 3; ++sdim)
+        masses[tris[t * 3 + j] * 3 + sdim] += 1522.0 * area / 3.0;
+  }
   for (int t = 0; t < n_tets; ++t) {
     Vec3 p[4];
     for (int j = 0; j < 4; ++j)
@@ -118,7 +157,12 @@ int main(int argc, char** argv) {
   solver.add_nodes<double>(verts.data(), masses.data(), n_verts);
 
   admm::Lame soft_rubber(10000000, 0.399);
-  if (model == 0) {
+  soft_rubber.limit_min = limit_min;
+  soft_rubber.limit_max = limit_max;
+  if (model == 3) {
+    admm::create_tris_from_mesh<double, admm::TriEnergyTerm>(
+        solver.energyterms, verts.data(), tris.data(), n_tris, soft_rubber, 0);
+  } else if (model == 0) {
     admm::create_tets_from_mesh<double, admm::TetEnergyTerm>(
         solver.energyterms, verts.data(), tets.data(), n_tets, soft_rubber, 0);
   } else if (model == 2) {
@@ -133,7 +177,7 @@ int main(int argc, char** argv) {
     solver.add_obstacle(
         std::make_shared<admm::Floor>(admm::Floor(floor_y)));
   } else {
-    // Pin the -x face in place (timing/parity scene).
+    // Pin the -x face (beam) / -x edge (cloth) in place.
     std::vector<int> pins;
     for (int v = 0; v < n_verts; ++v)
       if (verts[v * 3] < 1e-9) pins.push_back(v);

@@ -148,3 +148,124 @@ def test_uzawa_floor_contact_parity(tmp_path):
     scale = np.abs(ref).max()
     err = np.abs(ref - ours).max() / scale
     assert err < 1e-2, f"contact parity: rel max |dx| = {err}"  # measured 4.4e-3
+
+
+def test_cloth_trajectory_parity(tmp_path):
+    """Pinned cloth sheet under gravity vs the reference TriEnergyTerm.
+
+    Both sides use the identical thin-SVD projection prox (closed form, no
+    inner optimizer), so f64 trajectories must agree to solver roundoff.
+    """
+    import subprocess
+
+    nx, ny = 4, 4
+    subprocess.run(
+        ["bash", os.path.join(HERE, "benchmarks", "build_reference.sh")],
+        check=True, capture_output=True, timeout=500,
+    )
+    dump = str(tmp_path / "cloth.bin")
+    subprocess.run(
+        ["/tmp/ref_build/ref_driver", str(nx), str(ny), "1", str(ITERS),
+         str(STEPS), "3", dump],
+        check=True, capture_output=True, timeout=300,
+    )
+    n_verts = (nx + 1) * (ny + 1)
+    ref = np.fromfile(dump, dtype=np.float64).reshape(STEPS, n_verts, 3)
+
+    from admm_elastic_tpu import Lame, Settings, Solver
+
+    # Same sheet as the driver: (i, 0, j*nx/ny), two tris per quad.
+    verts = np.array(
+        [[i, 0.0, j * nx / ny] for i in range(nx + 1) for j in range(ny + 1)],
+        dtype=np.float64,
+    )
+    vid = lambda i, j: i * (ny + 1) + j
+    tris = []
+    for i in range(nx):
+        for j in range(ny):
+            tris.append([vid(i, j), vid(i + 1, j), vid(i, j + 1)])
+            tris.append([vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)])
+    tris = np.asarray(tris)
+
+    # Area-lumped masses at rubber density (matches the driver).
+    masses = np.zeros(n_verts)
+    for t in tris:
+        p = verts[t]
+        area = 0.5 * np.linalg.norm(np.cross(p[1] - p[0], p[2] - p[0]))
+        masses[t] += 1522.0 * area / 3.0
+
+    solver = Solver()
+    solver.add_nodes(verts, masses)
+    lame = Lame.from_youngs_poisson(10000000, 0.399)
+    solver.add_tri_energies(verts, tris, lame)
+    pins = [int(i) for i in np.where(verts[:, 0] < 1e-9)[0]]
+    solver.set_pins(pins)
+    s = Settings(verbose=0, admm_iters=ITERS, linsolver=0, gravity=-9.8)
+    assert solver.initialize(s)
+    traj = []
+    for _ in range(STEPS):
+        solver.step()
+        traj.append(solver.x.copy())
+    ours = np.stack(traj)
+
+    scale = np.abs(ref).max()
+    err = np.abs(ref - ours).max() / scale
+    assert err < 1e-8, f"cloth parity: rel max |dx| = {err}"
+
+
+def test_cloth_strain_limit_parity(tmp_path):
+    """Strain-limited cloth ([0.95, 1.05]) vs the reference clamp
+    (TriEnergyTerm.cpp:73-101): exact column-norm clamping on both sides."""
+    import subprocess
+
+    nx, ny = 4, 4
+    subprocess.run(
+        ["bash", os.path.join(HERE, "benchmarks", "build_reference.sh")],
+        check=True, capture_output=True, timeout=500,
+    )
+    dump = str(tmp_path / "cloth_lim.bin")
+    subprocess.run(
+        ["/tmp/ref_build/ref_driver", str(nx), str(ny), "1", str(ITERS),
+         str(STEPS), "3", dump, "0", "9999", "0.95", "1.05"],
+        check=True, capture_output=True, timeout=300,
+    )
+    n_verts = (nx + 1) * (ny + 1)
+    ref = np.fromfile(dump, dtype=np.float64).reshape(STEPS, n_verts, 3)
+
+    from admm_elastic_tpu import Lame, Settings, Solver
+
+    verts = np.array(
+        [[i, 0.0, j * nx / ny] for i in range(nx + 1) for j in range(ny + 1)],
+        dtype=np.float64,
+    )
+    vid = lambda i, j: i * (ny + 1) + j
+    tris = []
+    for i in range(nx):
+        for j in range(ny):
+            tris.append([vid(i, j), vid(i + 1, j), vid(i, j + 1)])
+            tris.append([vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)])
+    tris = np.asarray(tris)
+    masses = np.zeros(n_verts)
+    for t in tris:
+        p = verts[t]
+        area = 0.5 * np.linalg.norm(np.cross(p[1] - p[0], p[2] - p[0]))
+        masses[t] += 1522.0 * area / 3.0
+
+    solver = Solver()
+    solver.add_nodes(verts, masses)
+    lame = Lame.from_youngs_poisson(10000000, 0.399)
+    lame.limit_min = 0.95
+    lame.limit_max = 1.05
+    solver.add_tri_energies(verts, tris, lame)
+    pins = [int(i) for i in np.where(verts[:, 0] < 1e-9)[0]]
+    solver.set_pins(pins)
+    s = Settings(verbose=0, admm_iters=ITERS, linsolver=0, gravity=-9.8)
+    assert solver.initialize(s)
+    traj = []
+    for _ in range(STEPS):
+        solver.step()
+        traj.append(solver.x.copy())
+    ours = np.stack(traj)
+    scale = np.abs(ref).max()
+    err = np.abs(ref - ours).max() / scale
+    assert err < 1e-8, f"strain-limit parity: rel max |dx| = {err}"
