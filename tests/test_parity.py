@@ -269,3 +269,48 @@ def test_cloth_strain_limit_parity(tmp_path):
     scale = np.abs(ref).max()
     err = np.abs(ref - ours).max() / scale
     assert err < 1e-8, f"strain-limit parity: rel max |dx| = {err}"
+
+
+def test_ncmcgs_floor_contact_parity(tmp_path):
+    """Beam dropped on the floor with the constrained multicolor GS solver
+    (ls=1, the TVCG extension's flagship): trajectories match the reference
+    binary to solver roundoff (same coloring-free result: SOR omega=1.9,
+    per-node contact projection, pin override)."""
+    import subprocess
+
+    subprocess.run(
+        ["bash", os.path.join(HERE, "benchmarks", "build_reference.sh")],
+        check=True, capture_output=True, timeout=500,
+    )
+    dump = str(tmp_path / "gs.bin")
+    subprocess.run(
+        ["/tmp/ref_build/ref_driver", str(NX), str(NY), str(NZ), str(ITERS),
+         "20", "0", dump, "1", "-1.0"],
+        check=True, capture_output=True, timeout=300,
+    )
+    n_verts = (NX + 1) * (NY + 1) * (NZ + 1)
+    ref = np.fromfile(dump, dtype=np.float64).reshape(20, n_verts, 3)
+
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu import Lame, Settings, Solver
+    from admm_elastic_tpu.collision.passive import Floor
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks
+    from admm_elastic_tpu.geometry.mesh import lumped_masses_tet
+
+    mesh = make_tet_blocks(NX, NY, NZ)
+    solver = Solver()
+    solver.add_nodes(mesh.vertices, lumped_masses_tet(mesh.vertices, mesh.tets, 1522.0))
+    lame = Lame.from_youngs_poisson(10000000, 0.399)
+    solver.add_tet_energies(mesh.vertices, mesh.tets, lame, model="linear")
+    solver.add_obstacle(Floor(y=jnp.asarray(-1.0)))
+    s = Settings(verbose=0, admm_iters=ITERS, linsolver=1, gravity=-9.8)
+    assert solver.initialize(s)
+    traj = []
+    for _ in range(20):
+        solver.step()
+        traj.append(solver.x.copy())
+    ours = np.stack(traj)
+    scale = np.abs(ref).max()
+    err = np.abs(ref - ours).max() / scale
+    assert err < 1e-9, f"NCMCGS contact parity: rel max |dx| = {err}"  # measured 1.3e-12
