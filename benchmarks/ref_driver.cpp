@@ -23,6 +23,7 @@
 #include "Solver.hpp"
 #include "TetEnergyTerm.hpp"
 #include "TriEnergyTerm.hpp"
+#include "ExplicitForce.hpp"
 
 using Vec3 = Eigen::Vector3d;
 
@@ -90,6 +91,9 @@ int main(int argc, char** argv) {
   // Optional hard strain limits for the cloth scene (model 3).
   double limit_min = (argc > 10) ? atof(argv[10]) : -100.0;
   double limit_max = (argc > 11) ? atof(argv[11]) : 100.0;
+  // Optional wind vector (model 3): argv 12..14; optional gravity argv 15.
+  bool with_wind = (argc > 14);
+  double gravity = (argc > 15) ? atof(argv[15]) : -9.8;
 
   std::vector<double> verts;
   std::vector<int> tets;
@@ -125,7 +129,7 @@ int main(int argc, char** argv) {
   settings.verbose = 0;
   settings.admm_iters = iters;
   settings.linsolver = linsolver;
-  settings.gravity = -9.8;
+  settings.gravity = gravity;
 
   // Lumped masses at rubber density (1522, AddMeshes.hpp:105); cloth uses
   // area-weighted lumping like add_trimesh.
@@ -182,6 +186,13 @@ int main(int argc, char** argv) {
     for (int v = 0; v < n_verts; ++v)
       if (verts[v * 3] < 1e-9) pins.push_back(v);
     solver.set_pins(pins);
+  }
+
+  if (with_wind && model == 3) {
+    std::vector<int> wind_tris(tris);
+    auto wf = std::make_shared<admm::WindForce>(wind_tris);
+    wf->direction = Vec3(atof(argv[12]), atof(argv[13]), atof(argv[14]));
+    solver.ext_forces.push_back(wf);
   }
 
   mcl::MicroTimer t;

@@ -314,3 +314,71 @@ def test_ncmcgs_floor_contact_parity(tmp_path):
     scale = np.abs(ref).max()
     err = np.abs(ref - ours).max() / scale
     assert err < 1e-9, f"NCMCGS contact parity: rel max |dx| = {err}"  # measured 1.3e-12
+
+
+def test_wind_force_parity(tmp_path):
+    """Cloth sheet in wind vs the reference WindForce (Wejchert-Haumann
+    aerodynamics, src/ExplicitForce.cpp:47-104): exact velocity-kick
+    semantics (mean triangle velocity, quadratic normal force, 0.33*dt
+    scaling, same force on all three nodes)."""
+    import subprocess
+
+    nx, ny = 4, 4
+    subprocess.run(
+        ["bash", os.path.join(HERE, "benchmarks", "build_reference.sh")],
+        check=True, capture_output=True, timeout=500,
+    )
+    # Gentle out-of-plane wind, zero gravity: the reference WindForce adds
+    # alpha*area*v_n^2 straight to the velocity (no mass division,
+    # src/ExplicitForce.cpp:83-100), which diverges for |v_n| over ~0.3 at
+    # these areas/dt — so the parity scene must stay in its stable regime.
+    dump = str(tmp_path / "wind.bin")
+    subprocess.run(
+        ["/tmp/ref_build/ref_driver", str(nx), str(ny), "1", str(ITERS),
+         str(STEPS), "3", dump, "0", "9999", "-100", "100",
+         "0.05", "0.1", "0.02", "0"],
+        check=True, capture_output=True, timeout=300,
+    )
+    n_verts = (nx + 1) * (ny + 1)
+    ref = np.fromfile(dump, dtype=np.float64).reshape(STEPS, n_verts, 3)
+
+    from admm_elastic_tpu import Lame, Settings, Solver
+    from admm_elastic_tpu.forces import make_wind_force
+
+    verts = np.array(
+        [[i, 0.0, j * nx / ny] for i in range(nx + 1) for j in range(ny + 1)],
+        dtype=np.float64,
+    )
+    vid = lambda i, j: i * (ny + 1) + j
+    tris = []
+    for i in range(nx):
+        for j in range(ny):
+            tris.append([vid(i, j), vid(i + 1, j), vid(i, j + 1)])
+            tris.append([vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)])
+    tris = np.asarray(tris)
+    masses = np.zeros(n_verts)
+    for t in tris:
+        p = verts[t]
+        area = 0.5 * np.linalg.norm(np.cross(p[1] - p[0], p[2] - p[0]))
+        masses[t] += 1522.0 * area / 3.0
+
+    solver = Solver()
+    solver.add_nodes(verts, masses)
+    lame = Lame.from_youngs_poisson(10000000, 0.399)
+    solver.add_tri_energies(verts, tris, lame)
+    pins = [int(i) for i in np.where(verts[:, 0] < 1e-9)[0]]
+    solver.set_pins(pins)
+    solver.ext_forces.append(
+        make_wind_force(tris, direction=(0.05, 0.1, 0.02), sequential=True)
+    )
+    s = Settings(verbose=0, admm_iters=ITERS, linsolver=0, gravity=0.0)
+    assert solver.initialize(s)
+    traj = []
+    for _ in range(STEPS):
+        solver.step()
+        traj.append(solver.x.copy())
+    ours = np.stack(traj)
+    assert np.abs(ref - ref[0]).max() > 1e-3, "wind had no effect in fixture"
+    scale = np.abs(ref).max()
+    err = np.abs(ref - ours).max() / scale
+    assert err < 1e-8, f"wind parity: rel max |dx| = {err}"
