@@ -31,7 +31,11 @@ class Floor:
     def signed_distance(self, x):
         dx = x[..., 1] - self.y
         point = jnp.stack([x[..., 0], jnp.broadcast_to(self.y, x[..., 1].shape), x[..., 2]], axis=-1)
-        normal = jnp.zeros_like(x).at[..., 1].set(1.0)
+        # NOTE: constant broadcast, NOT zeros().at[..., 1].set(1.0) — this
+        # environment's XLA:TPU build miscompiles that scatter-set to all
+        # zeros when fused into a larger program (silent wrong answer: the
+        # floor constraint rows vanish and bodies tunnel through).
+        normal = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], x.dtype), x.shape)
         return dx, point, normal
 
 

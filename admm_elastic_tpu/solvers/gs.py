@@ -40,11 +40,12 @@ def _ortho_tangent(n):
     Mirrors NodalMultiColorGS::orthoG (src/NodalMultiColorGS.hpp:152-160).
     """
     cond = (n[..., 0] > 0.999)[..., None]
-    not_n = jnp.where(
-        cond,
-        jnp.zeros_like(n).at[..., 2].set(1.0),
-        jnp.zeros_like(n).at[..., 0].set(1.0),
-    )
+    # Constant broadcasts, NOT zeros().at[..., k].set(1.0): this XLA:TPU
+    # build has been observed miscompiling that scatter-set to all zeros
+    # when fused (see collision/passive.py Floor.signed_distance).
+    ez = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], n.dtype), n.shape)
+    ex = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], n.dtype), n.shape)
+    not_n = jnp.where(cond, ez, ex)
     u = jnp.cross(not_n, n)
     u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-30)
     v = jnp.cross(n, u)
@@ -88,6 +89,10 @@ def solve(
     pen_diag = jnp.where(has_dyn, con.CtC_diag(hits, ck, n, dtype), jnp.zeros((n, 3), dtype))
     b_eff = b + con.Ct_c(hits, ck, n)
     b_norm2 = jnp.sum(b_eff * b_eff)
+    # Clamp to the dtype's achievable relative residual: the reference
+    # default tol=1e-10 is below f32 machine precision, which would
+    # force max_iters every solve (in f64 the clamp is a no-op).
+    tol = jnp.maximum(tol, 64 * jnp.finfo(dtype).eps)
     tol2 = tol * tol * jnp.maximum(b_norm2, jnp.finfo(dtype).tiny)
 
     def color_update(ci, x):

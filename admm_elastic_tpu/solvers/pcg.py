@@ -141,6 +141,10 @@ def solve(A_mv, precond, b, x0, tol, max_iters):
         return jnp.sum(a * b_)
 
     b_norm2 = dot(b, b)
+    # Clamp to the dtype's achievable relative residual: the reference
+    # default tol=1e-10 is below f32 machine precision, which would
+    # force max_iters every solve (in f64 the clamp is a no-op).
+    tol = jnp.maximum(tol, 64 * jnp.finfo(b.dtype).eps)
     tol2 = tol * tol * jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny)
 
     r0 = b - A_mv(x0)

@@ -47,11 +47,15 @@ def solve(apply_Ainv, hits: con.Hits, ck, b0, x_guess, y, max_iters, tol):
     cp, cd = con.C_rhs(hits, ck)
     c = jnp.concatenate([cp, cd])
 
-    has_constraints = hits.n_active() > 0
-
-    def unconstrained(_):
-        return apply_Ainv(b0), jnp.zeros_like(y), jnp.asarray(1, jnp.int32)
-
+    # NOTE: no lax.cond fast path for the zero-constraint case. This
+    # environment's XLA:TPU build miscompiles cond(pred, <branch with
+    # while_loop>, ...) when fused with the upstream detection program —
+    # the TRUE branch is skipped even with a verifiably true predicate
+    # (n_active()==15 returned from the same program). The constrained
+    # path degenerates correctly anyway when nothing is active: all C
+    # rows are masked to zero, so r0 = 0 and the CG while_loop exits
+    # after one iteration with x = A^-1 b, matching the reference's fast
+    # path (src/UzawaCG.hpp:76-81) at the cost of one masked gather.
     def constrained(_):
         x0 = apply_Ainv(b0 - Ct(y))
         r0 = C(x0) - c
@@ -61,7 +65,11 @@ def solve(apply_Ainv, hits: con.Hits, ck, b0, x_guess, y, max_iters, tol):
         r0 = jnp.where(active, r0, 0.0)
         d0 = r0
         tiny = jnp.finfo(dtype).tiny
-        tol2 = jnp.asarray(tol * tol, dtype)
+        # Clamp to the dtype's achievable relative residual: the reference
+        # default tol=1e-10 is below f32 machine precision, which would
+        # force max_iters every solve (in f64 the clamp is a no-op).
+        tol_c = jnp.maximum(jnp.asarray(tol, dtype), 64 * jnp.finfo(dtype).eps)
+        tol2 = tol_c * tol_c
 
         def cond(carry):
             _, _, r, d, k, done = carry
@@ -85,6 +93,6 @@ def solve(apply_Ainv, hits: con.Hits, ck, b0, x_guess, y, max_iters, tol):
 
         init = (x0, y, r0, d0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
         x, yv, _, _, iters, _ = jax.lax.while_loop(cond, body, init)
-        return x, yv, iters
+        return x, yv, jnp.maximum(iters, 1)
 
-    return jax.lax.cond(has_constraints, constrained, unconstrained, None)
+    return constrained(None)

@@ -160,3 +160,40 @@ def test_boxes_stack_gs():
     # Upper box stays above the lower one (no tunneling through).
     top_min = x[n_per:, 1].min()
     assert top_min > 0.2, top_min
+
+
+def test_uzawa_floor_contact_f32():
+    """f32 Uzawa must hold the floor (regression: an XLA:TPU fusion bug
+    zeroed Floor normals built with zeros().at[...,1].set(1.0) and bodies
+    tunneled straight through; constant-broadcast normals fix it)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.collision.passive import Floor
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks
+
+    mesh = make_tet_blocks(4, 2, 2)
+    mesh.flags = binding.NOSELFCOLLISION | binding.LINEAR
+    s = Solver()
+    binding.add_tetmesh(s, mesh, Lame.soft_rubber(), verbose=False)
+    s.add_obstacle(Floor(y=jnp.asarray(-1.0)))
+    st = Settings(verbose=0, admm_iters=10, linsolver=2, dtype=np.float32,
+                  direct_mode="inv")
+    assert s.initialize(st)
+    s.run(30)
+    x = np.asarray(s.state.x)
+    assert np.isfinite(x).all()
+    assert x[:, 1].min() > -1.05, f"tunneled: min y {x[:, 1].min()}"
+
+
+def test_floor_normal_is_constant_broadcast():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from admm_elastic_tpu.collision.passive import Floor
+
+    f = Floor(y=jnp.asarray(-1.0))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((7, 3)))
+    _, _, n = f.signed_distance(x)
+    assert np.allclose(np.asarray(n), [0.0, 1.0, 0.0])
