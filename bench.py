@@ -34,6 +34,34 @@ def _timed(fn, solver):
     return time.perf_counter() - t0
 
 
+def _contact_sanity():
+    """Tiny floor-contact scene ON THE BENCH BACKEND: guards against
+    silent contact miscompiles (an XLA:TPU fusion bug once zeroed the
+    floor normals and bodies tunneled through — f32/TPU only, invisible
+    to the CPU test suite)."""
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.collision.passive import Floor
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks
+
+    for ls in (1, 2):
+        mesh = make_tet_blocks(4, 2, 2)
+        mesh.flags = binding.NOSELFCOLLISION | binding.LINEAR
+        s = Solver()
+        binding.add_tetmesh(s, mesh, Lame.soft_rubber(), verbose=False)
+        s.add_obstacle(Floor(y=jnp.asarray(-1.0)))
+        st = Settings(verbose=0, admm_iters=10, linsolver=ls,
+                      gravity=-9.8, dtype=np.float32, direct_mode="inv")
+        assert s.initialize(st)
+        s.run(30)
+        x = s.x
+        assert np.isfinite(x).all(), f"ls={ls}: contact scene non-finite"
+        assert x[:, 1].min() > -1.1, (
+            f"ls={ls}: tunneled through the floor (min y {x[:, 1].min()})"
+        )
+
+
 def main():
     import jax
 
@@ -89,6 +117,8 @@ def main():
         ref = base.get("admm_iters_per_s")
         if ref:
             vs = iters_per_s / ref
+
+    _contact_sanity()
 
     print(json.dumps({
         "metric": "ADMM iterations/s, neo-Hookean beam 5000 tets (fp32, 1 chip)",
