@@ -19,8 +19,14 @@ Conventions:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# einsum/matmul contractions run at HIGHEST precision: the MXU's default
+# f32 path uses bf16 passes whose error in the deformation gradients is
+# visible in trajectories (TPU-vs-CPU crossval).
+_PP = jax.lax.Precision.HIGHEST
 
 
 # --- Gather-based transpose apply ---------------------------------------------
@@ -73,7 +79,7 @@ def tet_Dx(x, inds, Dlocal):
     F_{rc} = sum_j x4[t,j,r] * Dlocal[t,j,c].
     """
     x4 = x[inds]  # [T, 4, 3]
-    return jnp.einsum("tjr,tjc->trc", x4, Dlocal)
+    return jnp.einsum("tjr,tjc->trc", x4, Dlocal, precision=_PP)
 
 
 def tet_Dx_rows(x, inds, Dlocal):
@@ -116,7 +122,7 @@ def tet_Dt(G, inds, Dlocal, n_verts, gather_idx=None):
     With gather_idx (precomputed build_gather_table), uses the scatter-free
     gather-sum path; otherwise falls back to scatter-add.
     """
-    contrib = jnp.einsum("trc,tjc->tjr", G, Dlocal)  # [T, 4, 3]
+    contrib = jnp.einsum("trc,tjc->tjr", G, Dlocal, precision=_PP)  # [T, 4, 3]
     if gather_idx is not None:
         return dt_gather(contrib.reshape(-1, 3), gather_idx)
     out = jnp.zeros((n_verts, 3), dtype=G.dtype)
@@ -135,12 +141,12 @@ def tet_diag(weight2, Dlocal, inds, n_verts):
 def tri_Dx(x, inds, Dlocal):
     """D_i x for a tri family: F [T,3,2]."""
     x3 = x[inds]  # [T, 3, 3]
-    return jnp.einsum("tjr,tjc->trc", x3, Dlocal)
+    return jnp.einsum("tjr,tjc->trc", x3, Dlocal, precision=_PP)
 
 
 def tri_Dt(G, inds, Dlocal, n_verts, gather_idx=None):
     """D_i^T G into [N,3]; G is [T,3,2]. See tet_Dt for the two paths."""
-    contrib = jnp.einsum("trc,tjc->tjr", G, Dlocal)  # [T, 3, 3]
+    contrib = jnp.einsum("trc,tjc->tjr", G, Dlocal, precision=_PP)  # [T, 3, 3]
     if gather_idx is not None:
         return dt_gather(contrib.reshape(-1, 3), gather_idx)
     out = jnp.zeros((n_verts, 3), dtype=G.dtype)

@@ -24,6 +24,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# All small batched matmuls here run at HIGHEST precision: the MXU's
+# default f32 matmul uses bf16 passes, whose error in the Gram matrices /
+# rotation composition measurably corrupts trajectories (TPU-vs-CPU
+# crossval: cloth drift 3e-3 -> 1e-5 after this change).
+_PP = jax.lax.Precision.HIGHEST
+
 
 def det3(M):
     """Pure-arithmetic 3x3 determinant (batched).
@@ -109,8 +115,8 @@ def _jacobi_eigh3(A, sweeps: int = 6):
         eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), A.shape)
         G = eye.at[..., p, p].set(c).at[..., q, q].set(c)
         G = G.at[..., p, q].set(s).at[..., q, p].set(-s)
-        A = jnp.swapaxes(G, -1, -2) @ A @ G
-        Q = Q @ G
+        A = jnp.matmul(jnp.matmul(jnp.swapaxes(G, -1, -2), A, precision=_PP), G, precision=_PP)
+        Q = jnp.matmul(Q, G, precision=_PP)
         return A, Q
 
     for _ in range(sweeps):
@@ -131,7 +137,7 @@ def signed_svd3_jacobi(F, sweeps: int = 6):
       5. sign fix as in :func:`_fix_signs`.
     """
     dtype = F.dtype
-    FtF = jnp.swapaxes(F, -1, -2) @ F
+    FtF = jnp.matmul(jnp.swapaxes(F, -1, -2), F, precision=_PP)
     V, w = _jacobi_eigh3(FtF, sweeps=sweeps)
 
     # Sort eigenvalues descending (3-element sorting network, masked swaps).
@@ -154,7 +160,7 @@ def signed_svd3_jacobi(F, sweeps: int = 6):
     # U columns = F v_i / s_i; degenerate columns re-orthonormalized by
     # cross products (handles rank-deficient / collapsed elements).
     eps = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-8, dtype)
-    FV = F @ V
+    FV = jnp.matmul(F, V, precision=_PP)
     safe = jnp.maximum(S, eps)
     U = FV / safe[..., None, :]
 
@@ -162,13 +168,13 @@ def signed_svd3_jacobi(F, sweeps: int = 6):
     u0 = U[..., :, 0]
     n0 = jnp.linalg.norm(u0, axis=-1, keepdims=True)
     # If u0 is degenerate (F ~ 0) fall back to e0.
-    e0 = jnp.zeros_like(u0).at[..., 0].set(1.0)
+    e0 = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], u0.dtype), u0.shape)
     u0 = jnp.where(n0 > eps, u0 / jnp.maximum(n0, eps), e0)
     u1 = U[..., :, 1]
     u1 = u1 - jnp.sum(u1 * u0, axis=-1, keepdims=True) * u0
     n1 = jnp.linalg.norm(u1, axis=-1, keepdims=True)
     # Fallback: any vector orthogonal to u0.
-    alt = jnp.cross(u0, jnp.where(jnp.abs(u0[..., :1]) > 0.9, jnp.zeros_like(u0).at[..., 1].set(1.0), e0))
+    alt = jnp.cross(u0, jnp.where(jnp.abs(u0[..., :1]) > 0.9, jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], u0.dtype), u0.shape), e0))
     altn = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True), eps)
     u1 = jnp.where(n1 > eps, u1 / jnp.maximum(n1, eps), altn)
     u2 = jnp.cross(u0, u1)
@@ -203,7 +209,7 @@ def polar_rotation_3x2(F):
     """
     dtype = F.dtype
     eps = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-7, dtype)
-    G = jnp.swapaxes(F, -1, -2) @ F  # [..., 2, 2] SPD
+    G = jnp.matmul(jnp.swapaxes(F, -1, -2), F, precision=_PP)  # [..., 2, 2] SPD
     a = G[..., 0, 0]
     b = G[..., 0, 1]
     c = G[..., 1, 1]
@@ -218,7 +224,7 @@ def polar_rotation_3x2(F):
     use_alt = jnp.sum(v1 * v1, axis=-1, keepdims=True) < jnp.sum(v1_alt * v1_alt, axis=-1, keepdims=True)
     v1 = jnp.where(use_alt, v1_alt, v1)
     n1 = jnp.linalg.norm(v1, axis=-1, keepdims=True)
-    e1 = jnp.zeros_like(v1).at[..., 0].set(1.0)
+    e1 = jnp.broadcast_to(jnp.asarray([1.0, 0.0], v1.dtype), v1.shape)
     v1 = jnp.where(n1 > eps, v1 / jnp.maximum(n1, eps), e1)
     v2 = jnp.stack([-v1[..., 1], v1[..., 0]], axis=-1)
     V = jnp.stack([v1, v2], axis=-1)  # [..., 2, 2]
@@ -226,13 +232,13 @@ def polar_rotation_3x2(F):
     s2 = jnp.sqrt(jnp.maximum(l2, 0.0))
 
     # U columns.
-    FV = F @ V  # [..., 3, 2]
+    FV = jnp.matmul(F, V, precision=_PP)  # [..., 3, 2]
     u1 = FV[..., :, 0] / jnp.maximum(s1, eps)[..., None]
     u2 = FV[..., :, 1] / jnp.maximum(s2, eps)[..., None]
     # Orthonormalize/fallback.
     n_u1 = jnp.linalg.norm(u1, axis=-1, keepdims=True)
-    ex = jnp.zeros_like(u1).at[..., 0].set(1.0)
-    ey = jnp.zeros_like(u1).at[..., 1].set(1.0)
+    ex = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], u1.dtype), u1.shape)
+    ey = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], u1.dtype), u1.shape)
     u1 = jnp.where(n_u1 > eps, u1 / jnp.maximum(n_u1, eps), ex)
     u2 = u2 - jnp.sum(u2 * u1, axis=-1, keepdims=True) * u1
     n_u2 = jnp.linalg.norm(u2, axis=-1, keepdims=True)
@@ -240,4 +246,4 @@ def polar_rotation_3x2(F):
     altn = alt / jnp.maximum(jnp.linalg.norm(alt, axis=-1, keepdims=True), eps)
     u2 = jnp.where(n_u2 > eps, u2 / jnp.maximum(n_u2, eps), altn)
     U = jnp.stack([u1, u2], axis=-1)  # [..., 3, 2]
-    return U @ jnp.swapaxes(V, -1, -2)
+    return jnp.matmul(U, jnp.swapaxes(V, -1, -2), precision=_PP)

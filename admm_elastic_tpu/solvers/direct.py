@@ -96,8 +96,16 @@ def prepare(A_dense: np.ndarray, dtype, mode: str = "cho",
 
 
 def solve(data: DirectData, b):
-    """x = A^-1 b for b [N, k] (k=3 coordinates as batched RHS)."""
+    """x = A^-1 b for b [N, k] (k=3 coordinates as batched RHS).
+
+    precision=HIGHEST: the MXU's default f32 matmul runs in bf16 passes
+    (~3 fewer digits), which measurably corrupts trajectories through the
+    repeated solves (TPU-vs-CPU crossval drift 1e-2 vs 1e-5); exact-f32
+    passes cost a few extra microseconds at these sizes.
+    """
     if data.mode == "inv":
-        return data.scale * (data.mat @ (data.scale * b))
+        return data.scale * jnp.matmul(
+            data.mat, data.scale * b, precision=jax.lax.Precision.HIGHEST
+        )
     y = jax.scipy.linalg.solve_triangular(data.mat, b, lower=True)
     return jax.scipy.linalg.solve_triangular(data.mat.T, y, lower=False)

@@ -66,7 +66,9 @@ class PCGData:
             z = omega * inv_d * r
             res = r - self.apply(z, scale)
             rc = dt_gather(res, self.agg_gather)  # P^T res, scatter-free
-            z = z + (self.coarse_inv @ rc)[self.agg]
+            ec = jnp.matmul(self.coarse_inv, rc,
+                            precision=jax.lax.Precision.HIGHEST)
+            z = z + ec[self.agg]
             z = z + omega * inv_d * (r - self.apply(z, scale))
             return z
 

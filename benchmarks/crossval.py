@@ -1,0 +1,130 @@
+"""TPU-vs-CPU cross-validation: same f32 program, both backends.
+
+The CPU test suite cannot see TPU-only fusion miscompiles (one zeroed the
+floor-contact normals and bodies tunneled, caught only on hardware), so
+this sweep runs every solver mode x material x feature combination for a
+few steps on the accelerator AND on the host CPU in f32 and compares
+trajectories. Agreement is expected to f32-reassociation noise (the TPU
+prox path uses the SoA/Pallas kernels while CPU f32 uses the same SoA
+math, so divergence beyond ~1e-3 relative on these short stable scenes
+indicates a real defect).
+
+Run: python benchmarks/crossval.py  (driver/TPU environment)
+"""
+
+import os
+import subprocess
+import sys
+import json
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCENES = [
+    # (name, kwargs)
+    ("beam_linear_ldlt", dict(kind="beam", model="linear", ls=0)),
+    ("beam_nh_ldlt", dict(kind="beam", model="neohookean", ls=0)),
+    ("beam_stvk_ldlt", dict(kind="beam", model="stvk", ls=0)),
+    ("beam_spline_ldlt", dict(kind="beam", model="spline", ls=0)),
+    ("beam_nh_pcg", dict(kind="beam", model="neohookean", ls=3)),
+    ("contact_gs", dict(kind="contact", model="linear", ls=1)),
+    ("contact_uzawa", dict(kind="contact", model="linear", ls=2)),
+    ("cloth", dict(kind="cloth", model="linear", ls=0)),
+    ("cloth_wind", dict(kind="cloth", model="linear", ls=0, wind=True)),
+    ("selfcollision_gs", dict(kind="boxes", model="linear", ls=1)),
+]
+
+STEPS = 8
+
+
+def run_scene(kind, model, ls, wind=False):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu.ops import prox as prox_ops
+
+    # Force the same SVD/prox implementation on both backends (CPU would
+    # otherwise pick the LAPACK path); remaining divergence is pure
+    # XLA-reassociation noise, so anything beyond the threshold is a
+    # backend miscompile.
+    prox_ops.set_svd_impl("jacobi")
+
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.collision.passive import Floor
+    from admm_elastic_tpu.forces import make_wind_force
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks, make_plane, make_xform
+
+    flag = {"linear": binding.LINEAR, "neohookean": binding.NEOHOOKEAN,
+            "stvk": binding.STVK, "spline": binding.SPLINE}[model]
+    solver = Solver()
+    if kind in ("beam", "contact"):
+        mesh = make_tet_blocks(6, 3, 3)
+        mesh.flags = binding.NOSELFCOLLISION | flag
+        binding.add_tetmesh(solver, mesh, Lame.soft_rubber(), verbose=False)
+        if kind == "beam":
+            solver.set_pins(
+                [int(i) for i in np.where(mesh.vertices[:, 0] < 1e-9)[0]]
+            )
+        else:
+            solver.add_obstacle(Floor(y=jnp.asarray(-1.0)))
+    elif kind == "cloth":
+        mesh = make_plane(5, 5, size=2.0)
+        binding.add_trimesh(solver, mesh, Lame.soft_rubber(), verbose=False)
+        solver.set_pins(
+            [int(i) for i in np.where(mesh.vertices[:, 0] < 1e-9)[0]]
+        )
+        if wind:
+            solver.ext_forces.append(
+                make_wind_force(mesh.faces, direction=(0.02, 0.05, 0.01))
+            )
+    elif kind == "boxes":
+        for i in range(2):
+            m = make_tet_blocks(4, 4, 4, cell=0.25)
+            m.flags = binding.LINEAR  # self-collision enabled
+            m.apply_xform(make_xform(trans=(0.0, i * 1.1, 0.05 * i)))
+            binding.add_tetmesh(solver, m, Lame.rubber(), verbose=False)
+        solver.add_obstacle(Floor(y=jnp.asarray(-1.0)))
+    st = Settings(verbose=0, admm_iters=10, linsolver=ls,
+                  gravity=(0.0 if wind else -9.8), dtype=np.float32,
+                  direct_mode="inv")
+    assert solver.initialize(st)
+    solver.run(STEPS)
+    return np.asarray(solver.x, np.float64)
+
+
+def main():
+    import numpy as np
+
+    if os.environ.get("CROSSVAL_CHILD"):
+        # CPU child: compute one scene, dump to file.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        idx = int(os.environ["CROSSVAL_CHILD"]) - 1
+        name, kw = SCENES[idx]
+        x = run_scene(**kw)
+        np.save(os.environ["CROSSVAL_OUT"], x)
+        return
+
+    failures = []
+    for i, (name, kw) in enumerate(SCENES):
+        out = f"/tmp/crossval_{name}.npy"
+        env = dict(os.environ, CROSSVAL_CHILD=str(i + 1), CROSSVAL_OUT=out)
+        subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       check=True, env=env, timeout=560)
+        cpu = __import__("numpy").load(out)
+        acc = run_scene(**kw)
+        scale = max(abs(cpu).max(), 1e-9)
+        err = abs(acc - cpu).max() / scale
+        ok = bool((err < 2e-3) and __import__("numpy").isfinite(acc).all())
+        print(json.dumps({"scene": name, "rel_err": float(f"{err:.3e}"),
+                          "ok": ok}))
+        if not ok:
+            failures.append(name)
+    if failures:
+        print(json.dumps({"crossval": "FAIL", "scenes": failures}))
+        sys.exit(1)
+    print(json.dumps({"crossval": "PASS", "n_scenes": len(SCENES)}))
+
+
+if __name__ == "__main__":
+    main()
