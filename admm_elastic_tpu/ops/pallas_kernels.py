@@ -244,6 +244,68 @@ def local_step_tet_hyper_pallas(dix_rows, u_rows, model: str, mu, lam, kappa,
     )
 
 
+# --- fused rows-native cloth local step ------------------------------------------
+
+
+def _read6(ref):
+    return tuple(ref[r : r + 1, :] for r in range(6))
+
+
+def _local_tri_kernel(dix_ref, u_ref, p_ref, z_ref, uo_ref):
+    dix = _read6(dix_ref)
+    u = _read6(u_ref)
+    v = tuple(d + uu for d, uu in zip(dix, u))
+    z = soa.prox_tri_tuple(v, p_ref[0:1, :], p_ref[1:2, :])
+    for r in range(6):
+        z_ref[r : r + 1, :] = z[r]
+        uo_ref[r : r + 1, :] = v[r] - z[r]
+
+
+def _pad_rows6(rows, pad_t: int, identity: bool):
+    if identity:
+        ident = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 0.0], rows.dtype)
+        out = jnp.broadcast_to(ident[:, None], (6, pad_t))
+    else:
+        out = jnp.zeros((6, pad_t), rows.dtype)
+    return jax.lax.dynamic_update_slice(out, rows, (0, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _local_tri_call(dix, u, limit_min, limit_max, interpret):
+    t = dix.shape[1]
+    pad_t = _pad_t(t)
+    bt = min(_BLOCK_T, pad_t)
+    dix_p = _pad_rows6(dix, pad_t, identity=True)
+    u_p = _pad_rows6(u, pad_t, identity=False)
+    params = jnp.concatenate(
+        [_pad_param(limit_min, pad_t, fill=-100.0),
+         _pad_param(limit_max, pad_t, fill=100.0)],
+        axis=0,
+    )
+    spec6 = pl.BlockSpec((6, bt), lambda i: (0, i), memory_space=pltpu.VMEM)
+    z, uo = pl.pallas_call(
+        _local_tri_kernel,
+        grid=(pad_t // bt,),
+        in_specs=[
+            spec6,
+            spec6,
+            pl.BlockSpec((2, bt), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(spec6, spec6),
+        out_shape=(
+            jax.ShapeDtypeStruct((6, pad_t), dix.dtype),
+            jax.ShapeDtypeStruct((6, pad_t), dix.dtype),
+        ),
+        interpret=interpret,
+    )(dix_p, u_p, params)
+    return z[:, :t], uo[:, :t]
+
+
+def local_step_tri_pallas(dix_rows, u_rows, limit_min, limit_max):
+    """Fused cloth local step on rows layout [6, T]: (z_rows, u_new_rows)."""
+    return _local_tri_call(dix_rows, u_rows, limit_min, limit_max, _interpret())
+
+
 # --- linear tet prox -----------------------------------------------------------
 
 

@@ -144,6 +144,33 @@ def tri_Dx(x, inds, Dlocal):
     return jnp.einsum("tjr,tjc->trc", x3, Dlocal, precision=_PP)
 
 
+def tri_Dx_rows(x, inds, Dlocal):
+    """D_i x for a tri family in SoA rows: [6, T] (row-major 3x2 entries)."""
+    x3 = x[inds]  # [T, 3, 3]
+    rows = [
+        sum(x3[:, j, r] * Dlocal[:, j, c] for j in range(3))
+        for r in range(3)
+        for c in range(2)
+    ]
+    return jnp.stack(rows, axis=0)
+
+
+def tri_Dt_rows(G_rows, inds, Dlocal, n_verts, gather_idx=None):
+    """D_i^T G from SoA rows [6, T] into [N, 3]."""
+    contrib = jnp.stack(
+        [
+            sum(G_rows[2 * r + c] * Dlocal[:, j, c] for c in range(2))
+            for j in range(3)
+            for r in range(3)
+        ],
+        axis=1,
+    ).reshape(-1, 3)  # [T*3, 3] j-major
+    if gather_idx is not None:
+        return dt_gather(contrib, gather_idx)
+    out = jnp.zeros((n_verts, 3), dtype=contrib.dtype)
+    return out.at[inds.reshape(-1)].add(contrib)
+
+
 def tri_Dt(G, inds, Dlocal, n_verts, gather_idx=None):
     """D_i^T G into [N,3]; G is [T,3,2]. See tet_Dt for the two paths."""
     contrib = jnp.einsum("trc,tjc->tjr", G, Dlocal, precision=_PP)  # [T, 3, 3]

@@ -281,3 +281,96 @@ def solve3x3_sym_soa(h6, g):
         (B * g[0] + D * g[1] + E * g[2]) * inv,
         (C * g[0] + E * g[1] + F * g[2]) * inv,
     ), det
+
+
+# --- 3x2 (cloth) SoA kernels ---------------------------------------------------
+#
+# Rows layout for [T, 3, 2] deformation gradients: 6-tuple / [6, T] array in
+# row-major entry order (F00, F01, F10, F11, F20, F21).
+
+def polar_rotation_3x2_tuple(f):
+    """Closest orthonormal-column 3x2 to F, on a 6-tuple of same-shape
+    arrays. Same algorithm/fallbacks as svd3.polar_rotation_3x2."""
+    f00, f01, f10, f11, f20, f21 = f
+    dtype = f00.dtype
+    eps = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-7, dtype)
+
+    # G = F^T F (2x2 SPD)
+    a = f00 * f00 + f10 * f10 + f20 * f20
+    b = f00 * f01 + f10 * f11 + f20 * f21
+    c = f01 * f01 + f11 * f11 + f21 * f21
+
+    tr = a + c
+    disc = jnp.sqrt(jnp.maximum((a - c) ** 2 + 4.0 * b * b, 0.0))
+    l1 = 0.5 * (tr + disc)
+    l2 = 0.5 * (tr - disc)
+
+    v1x, v1y = b, l1 - a
+    ax_, ay_ = l1 - c, b
+    use_alt = v1x * v1x + v1y * v1y < ax_ * ax_ + ay_ * ay_
+    v1x = jnp.where(use_alt, ax_, v1x)
+    v1y = jnp.where(use_alt, ay_, v1y)
+    n1 = jnp.sqrt(v1x * v1x + v1y * v1y)
+    ok = n1 > eps
+    inv = 1.0 / jnp.maximum(n1, eps)
+    v1x = jnp.where(ok, v1x * inv, 1.0)
+    v1y = jnp.where(ok, v1y * inv, 0.0)
+    v2x, v2y = -v1y, v1x
+    s1 = jnp.sqrt(jnp.maximum(l1, 0.0))
+    s2 = jnp.sqrt(jnp.maximum(l2, 0.0))
+
+    # U columns = F V / s with orthonormalization fallbacks.
+    u1 = (f00 * v1x + f01 * v1y, f10 * v1x + f11 * v1y, f20 * v1x + f21 * v1y)
+    u2 = (f00 * v2x + f01 * v2y, f10 * v2x + f11 * v2y, f20 * v2x + f21 * v2y)
+    inv1 = 1.0 / jnp.maximum(s1, eps)
+    inv2 = 1.0 / jnp.maximum(s2, eps)
+    u1 = tuple(x * inv1 for x in u1)
+    u2 = tuple(x * inv2 for x in u2)
+
+    nu1 = jnp.sqrt(dot3(u1, u1))
+    ok1 = nu1 > eps
+    iu1 = 1.0 / jnp.maximum(nu1, eps)
+    ex = (jnp.ones_like(nu1), jnp.zeros_like(nu1), jnp.zeros_like(nu1))
+    u1 = tuple(jnp.where(ok1, x * iu1, e) for x, e in zip(u1, ex))
+
+    proj = dot3(u2, u1)
+    u2 = tuple(x - proj * y for x, y in zip(u2, u1))
+    nu2 = jnp.sqrt(dot3(u2, u2))
+    ok2 = nu2 > eps
+    iu2 = 1.0 / jnp.maximum(nu2, eps)
+    big0 = jnp.abs(u1[0]) > 0.9
+    ref = (jnp.where(big0, 0.0, 1.0), jnp.where(big0, 1.0, 0.0), jnp.zeros_like(nu2))
+    alt = cross3(u1, ref)
+    altn = jnp.sqrt(jnp.maximum(dot3(alt, alt), eps * eps))
+    alt = tuple(x / altn for x in alt)
+    u2 = tuple(jnp.where(ok2, x * iu2, y) for x, y in zip(u2, alt))
+
+    # P = U V^T (3x2): P_rc = u1_r * v1_c + u2_r * v2_c.
+    return (
+        u1[0] * v1x + u2[0] * v2x, u1[0] * v1y + u2[0] * v2y,
+        u1[1] * v1x + u2[1] * v2x, u1[1] * v1y + u2[1] * v2y,
+        u1[2] * v1x + u2[2] * v2x, u1[2] * v1y + u2[2] * v2y,
+    )
+
+
+def prox_tri_tuple(f, limit_min, limit_max):
+    """Cloth prox + hard strain limiting on a 6-tuple
+    (src/TriEnergyTerm.cpp:73-101; matches ops/prox.prox_tri)."""
+    p = polar_rotation_3x2_tuple(f)
+    z = tuple(0.5 * (pi + fi) for pi, fi in zip(p, f))
+    z00, z01, z10, z11, z20, z21 = z
+
+    check = (limit_min > 0.0) | (limit_max < 99.0)
+    n0 = jnp.sqrt(z00 * z00 + z10 * z10 + z20 * z20)
+    n1 = jnp.sqrt(z01 * z01 + z11 * z11 + z21 * z21)
+
+    def clamp(n):
+        safe = jnp.maximum(n, 1e-30)
+        s = jnp.ones_like(n)
+        s = jnp.where(n < limit_min, limit_min / safe, s)
+        s = jnp.where(n > limit_max, limit_max / safe, s)
+        return jnp.where(check, s, jnp.ones_like(s))
+
+    s0 = clamp(n0)
+    s1 = clamp(n1)
+    return (z00 * s0, z01 * s1, z10 * s0, z11 * s1, z20 * s0, z21 * s1)

@@ -184,8 +184,33 @@ class TriBatch:
         return self.lam + (2.0 / 3.0) * self.mu
 
     def prox(self, zi, n_newton_iters: int = 8):
+        """Prox of one cloth batch. zi is [T, 3, 2] or SoA rows [6, T]."""
         del n_newton_iters
+        if zi.ndim == 2:
+            from admm_elastic_tpu.ops import soa
+
+            out = soa.prox_tri_tuple(
+                tuple(zi[i] for i in range(6)), self.limit_min, self.limit_max
+            )
+            return jnp.stack(out, axis=0)
         return prox_ops.prox_tri(zi, self.limit_min, self.limit_max)
+
+    def local_step_rows(self, dix_rows, u_rows, n_newton_iters: int = 8):
+        """Fused cloth local step on SoA rows [6, T]: (z, u_new)."""
+        del n_newton_iters
+        from admm_elastic_tpu.ops import pallas_kernels, soa
+
+        if pallas_kernels.pallas_enabled(dix_rows.dtype):
+            return pallas_kernels.local_step_tri_pallas(
+                dix_rows, u_rows, self.limit_min, self.limit_max
+            )
+        v = dix_rows + u_rows
+        z = jnp.stack(
+            soa.prox_tri_tuple(tuple(v[i] for i in range(6)),
+                               self.limit_min, self.limit_max),
+            axis=0,
+        )
+        return z, v - z
 
     def energy(self, F):
         return prox_ops.energy_tri(F, self.bulk, self.area)

@@ -64,7 +64,7 @@ def Dx(system: System, x):
     for b in system.tets:
         out.append(red.tet_Dx_rows(x, b.inds, b.Dlocal))
     for b in system.tris:
-        out.append(red.tri_Dx(x, b.inds, b.Dlocal))
+        out.append(red.tri_Dx_rows(x, b.inds, b.Dlocal))
     if system.pins is not None:
         out.append(red.pin_Dx(x, system.pins.idx))
     return out
@@ -80,8 +80,8 @@ def DtW2(system: System, g_list):
         parts.append(red.tet_Dt_rows(w2 * g_list[i], b.inds, b.Dlocal, n, b.gather_idx))
         i += 1
     for b in system.tris:
-        w2 = (b.weight * b.weight)[:, None, None]
-        parts.append(red.tri_Dt(w2 * g_list[i], b.inds, b.Dlocal, n, b.gather_idx))
+        w2 = (b.weight * b.weight)[None, :]  # rows layout [6, T]
+        parts.append(red.tri_Dt_rows(w2 * g_list[i], b.inds, b.Dlocal, n, b.gather_idx))
         i += 1
     if system.pins is not None:
         w2 = (system.pins.weight * system.pins.weight)[:, None]
@@ -146,8 +146,9 @@ def total_energy(system: System, x):
     batches = list(system.tets) + list(system.tris)
     total = jnp.asarray(0.0, x.dtype)
     for b, dix in zip(batches, dix_list):
-        if dix.ndim == 2:  # tet rows [9, T] -> [T, 3, 3]
-            dix = dix.T.reshape(-1, 3, 3)
+        if dix.ndim == 2:  # rows -> [T, 3, 3] or [T, 3, 2]
+            cols = dix.shape[0] // 3
+            dix = dix.T.reshape(-1, 3, cols)
         total = total + jnp.sum(b.energy(dix))
     return total
 

@@ -57,3 +57,40 @@ def test_prox_hyper_soa_matches():
         # Both converge to the same prox point; differences come from the
         # SVD basis in (near-)degenerate cases.
         assert err < 5e-4, (model, err)
+
+
+def test_tri_rows_layout_matches_aos():
+    """Rows-layout cloth pipeline (Dx rows, prox tuple, Dt rows) matches
+    the AoS forms exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from admm_elastic_tpu.ops import prox as prox_ops
+    from admm_elastic_tpu.ops import reduction as red
+    from admm_elastic_tpu.ops import soa
+
+    rng = np.random.default_rng(7)
+    n, t = 40, 60
+    x = jnp.asarray(rng.standard_normal((n, 3)))
+    inds = jnp.asarray(rng.integers(0, n, (t, 3)), jnp.int32)
+    dl = jnp.asarray(rng.standard_normal((t, 3, 2)))
+
+    aos = red.tri_Dx(x, inds, dl)
+    rows = red.tri_Dx_rows(x, inds, dl)
+    np.testing.assert_allclose(
+        np.asarray(rows).T.reshape(t, 3, 2), np.asarray(aos), atol=1e-13
+    )
+
+    lm = jnp.asarray(np.where(rng.random(t) < 0.5, 0.95, -100.0))
+    lx = jnp.asarray(np.where(np.asarray(lm) > 0, 1.05, 100.0))
+    want = prox_ops.prox_tri(aos, lm, lx)
+    got = soa.prox_tri_tuple(tuple(rows[i] for i in range(6)), lm, lx)
+    got = np.stack([np.asarray(g) for g in got], axis=1).reshape(t, 3, 2)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-12)
+
+    g = jnp.asarray(rng.standard_normal((t, 3, 2)))
+    g_rows = jnp.stack([g[:, r, c] for r in range(3) for c in range(2)])
+    table = jnp.asarray(red.build_gather_table(np.asarray(inds), n))
+    a = red.tri_Dt(g, inds, dl, n, table)
+    b = red.tri_Dt_rows(g_rows, inds, dl, n, table)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-13)
