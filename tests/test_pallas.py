@@ -70,3 +70,53 @@ def test_f32_padding_lanes_stay_finite():
     )
     assert got.shape == (t, 3, 3)
     assert np.isfinite(got).all()
+
+
+def test_fused_local_step_tet_matches_jnp():
+    """Fused z+dual-update kernel == prox + manual dual update."""
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu.ops import hyper_soa
+
+    t = 200
+    rng = np.random.default_rng(11)
+    dix = jnp.asarray(rng.standard_normal((9, t)) * 0.3
+                      + np.asarray([1, 0, 0, 0, 1, 0, 0, 0, 1])[:, None])
+    u = jnp.asarray(rng.standard_normal((9, t)) * 0.05)
+    mu = jnp.asarray(rng.uniform(1e4, 1e6, t))
+    lam = jnp.asarray(rng.uniform(1e4, 1e6, t))
+    kap = jnp.zeros(t)
+    k = lam + (2.0 / 3.0) * mu
+    z, un = pallas_kernels.local_step_tet_hyper_pallas(
+        dix, u, TET_NEOHOOKEAN, mu, lam, kap, k
+    )
+    v = dix + u
+    want = jnp.stack(
+        hyper_soa.prox_tet_hyper_tuple(
+            tuple(v[i] for i in range(9)), TET_NEOHOOKEAN, mu, lam, kap, k
+        ),
+        axis=0,
+    )
+    np.testing.assert_allclose(np.asarray(z), np.asarray(want), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(un), np.asarray(v - want), atol=1e-10)
+
+
+def test_fused_local_step_tri_matches_jnp():
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu.ops import soa
+
+    t = 150
+    rng = np.random.default_rng(12)
+    ident = np.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 0.0])
+    dix = jnp.asarray(rng.standard_normal((6, t)) * 0.3 + ident[:, None])
+    u = jnp.asarray(rng.standard_normal((6, t)) * 0.05)
+    lm = jnp.asarray(np.where(rng.random(t) < 0.5, 0.95, -100.0))
+    lx = jnp.asarray(np.where(np.asarray(lm) > 0, 1.05, 100.0))
+    z, un = pallas_kernels.local_step_tri_pallas(dix, u, lm, lx)
+    v = dix + u
+    want = jnp.stack(
+        soa.prox_tri_tuple(tuple(v[i] for i in range(6)), lm, lx), axis=0
+    )
+    np.testing.assert_allclose(np.asarray(z), np.asarray(want), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(un), np.asarray(v - want), atol=1e-12)
