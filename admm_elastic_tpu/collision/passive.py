@@ -100,7 +100,9 @@ class PassiveMeshSDF:
         eps = 0.5 * self.h
         grads = []
         for axis in range(3):
-            e = jnp.zeros((3,), dtype=x.dtype).at[axis].set(eps)
+            # Constant basis vector (NOT zeros().at[axis].set: this XLA:TPU
+            # build can miscompile that scatter-set in fused programs).
+            e = eps * jnp.eye(3, dtype=x.dtype)[axis]
             grads.append((self._sample(x + e) - self._sample(x - e)) / (2.0 * eps))
         n = jnp.stack(grads, axis=-1)
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)

@@ -197,3 +197,60 @@ def test_floor_normal_is_constant_broadcast():
     x = jnp.asarray(np.random.default_rng(0).standard_normal((7, 3)))
     _, _, n = f.signed_distance(x)
     assert np.allclose(np.asarray(n), [0.0, 1.0, 0.0])
+
+
+def test_sphere_obstacle_rest():
+    """Beam dropped on a large sphere comes to rest on its surface."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.collision.passive import Sphere
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks, make_xform
+
+    mesh = make_tet_blocks(4, 2, 2)
+    mesh.flags = binding.NOSELFCOLLISION | binding.LINEAR
+    mesh.apply_xform(make_xform(trans=(-2.0, 2.0, -1.0)))
+    s = Solver()
+    binding.add_tetmesh(s, mesh, Lame.soft_rubber(), verbose=False)
+    center = jnp.asarray([0.0, -10.0, 0.0])
+    s.add_obstacle(Sphere(center=center, rad=jnp.asarray(10.0)))
+    st = Settings(verbose=0, admm_iters=10, linsolver=1, gravity=-9.8)
+    assert s.initialize(st)
+    s.run(40)
+    x = np.asarray(s.x)
+    assert np.isfinite(x).all()
+    d = np.linalg.norm(x - np.asarray(center), axis=1)
+    assert d.min() > 10.0 - 0.05, f"penetrated sphere: min dist {d.min()}"
+    assert d.min() < 10.2, "never touched the sphere"
+
+
+def test_mesh_sdf_obstacle_rest():
+    """Beam dropped onto a voxel-SDF box obstacle rests on top of it."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.collision.passive import PassiveMeshSDF
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks, make_xform
+
+    # Obstacle: unit box spanning [0,2]x[-1,0]x[0,2] (top face at y=0).
+    obs = make_tet_blocks(4, 2, 4, cell=0.5)
+    obs.apply_xform(make_xform(trans=(0.0, -1.0, 0.0)))
+    sdf = PassiveMeshSDF.from_tet_mesh(obs.vertices, obs.tets, resolution=32)
+
+    mesh = make_tet_blocks(3, 2, 2, cell=0.4)
+    mesh.flags = binding.NOSELFCOLLISION | binding.LINEAR
+    mesh.apply_xform(make_xform(trans=(0.4, 1.0, 0.4)))
+    s = Solver()
+    binding.add_tetmesh(s, mesh, Lame.soft_rubber(), verbose=False)
+    s.add_obstacle(sdf)
+    st = Settings(verbose=0, admm_iters=10, linsolver=1, gravity=-9.8)
+    assert s.initialize(st)
+    s.run(40)
+    x = np.asarray(s.x)
+    assert np.isfinite(x).all()
+    # Beam footprint is above the box: resting height ~ y=0 (voxel blur
+    # allows a small tolerance).
+    assert x[:, 1].min() > -0.15, f"sank into SDF box: min y {x[:, 1].min()}"
+    assert x[:, 1].min() < 0.15, "hovering above the box"
