@@ -31,6 +31,8 @@ SCENES = [
     ("cloth", dict(kind="cloth", model="linear", ls=0)),
     ("cloth_wind", dict(kind="cloth", model="linear", ls=0, wind=True)),
     ("selfcollision_gs", dict(kind="boxes", model="linear", ls=1)),
+    ("sphere_obstacle_gs", dict(kind="sphere", model="linear", ls=1)),
+    ("sdf_obstacle_gs", dict(kind="sdf", model="linear", ls=1)),
 ]
 
 STEPS = 8
@@ -76,6 +78,27 @@ def run_scene(kind, model, ls, wind=False):
             solver.ext_forces.append(
                 make_wind_force(mesh.faces, direction=(0.02, 0.05, 0.01))
             )
+    elif kind == "sphere":
+        from admm_elastic_tpu.collision.passive import Sphere
+
+        mesh = make_tet_blocks(4, 2, 2)
+        mesh.flags = binding.NOSELFCOLLISION | flag
+        mesh.apply_xform(make_xform(trans=(-2.0, 2.0, -1.0)))
+        binding.add_tetmesh(solver, mesh, Lame.soft_rubber(), verbose=False)
+        solver.add_obstacle(
+            Sphere(center=jnp.asarray([0.0, -10.0, 0.0]), rad=jnp.asarray(10.0))
+        )
+    elif kind == "sdf":
+        from admm_elastic_tpu.collision.passive import PassiveMeshSDF
+
+        obs = make_tet_blocks(4, 2, 4, cell=0.5)
+        obs.apply_xform(make_xform(trans=(0.0, -1.0, 0.0)))
+        sdf = PassiveMeshSDF.from_tet_mesh(obs.vertices, obs.tets, resolution=24)
+        mesh = make_tet_blocks(3, 2, 2, cell=0.4)
+        mesh.flags = binding.NOSELFCOLLISION | flag
+        mesh.apply_xform(make_xform(trans=(0.4, 1.0, 0.4)))
+        binding.add_tetmesh(solver, mesh, Lame.soft_rubber(), verbose=False)
+        solver.add_obstacle(sdf)
     elif kind == "boxes":
         for i in range(2):
             m = make_tet_blocks(4, 4, 4, cell=0.25)
