@@ -666,9 +666,17 @@ class Solver:
         )
 
     def step(self):
-        """Advance one timestep (src/Solver.cpp:35-109)."""
+        """Advance one timestep (src/Solver.cpp:35-109).
+
+        verbose >= 2 uses the per-phase profiled path so the RuntimeData
+        print shows local/collision/global wall-clock like the reference
+        (src/Solver.cpp:309-319); verbose <= 1 runs the fused single
+        program (phases not separable without device syncs).
+        """
         assert self.initialized, "call initialize() first"
         s = self.m_settings
+        if s.verbose >= 2:
+            return self.step_profiled()
         if s.verbose > 0:
             print(f"\nSimulating with dt: {s.timestep_s}s...", end="", flush=True)
         t0 = time.perf_counter()

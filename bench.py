@@ -103,7 +103,7 @@ def main():
     # steady-state device throughput. (The CPU baseline driver is local
     # and has no such variance.)
     wall = min(
-        _timed(lambda: solver.run(N_STEPS), solver) for _ in range(5)
+        _timed(lambda: solver.run(N_STEPS), solver) for _ in range(8)
     )
     assert np.isfinite(solver.x).all(), "non-finite state after timed reps"
 
