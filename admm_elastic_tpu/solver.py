@@ -145,7 +145,9 @@ def _step_core(
 
     x_bar = x0 + dt * v
     M_xbar = masses[:, None] * x_bar
-    z = sysm.Dx(system, x0)
+    # z is fully overwritten by the first local step; u starts at 0 each
+    # step (src/Solver.cpp:70-72) — so both are just zero allocations.
+    z = sysm.zeros_like_Dx(system, dtype)
     u = [jnp.zeros_like(zi) for zi in z]
 
     def apply_Ainv(rhs_):

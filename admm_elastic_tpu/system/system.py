@@ -70,6 +70,19 @@ def Dx(system: System, x):
     return out
 
 
+def zeros_like_Dx(system: System, dtype):
+    """Zero-initialized per-family local iterates (same shapes as Dx).
+
+    The ADMM carry's initial z is overwritten by the first local step
+    before any read, so allocating zeros avoids one full D apply per step.
+    """
+    out = [jnp.zeros((9, b.n), dtype) for b in system.tets]
+    out += [jnp.zeros((6, b.n), dtype) for b in system.tris]
+    if system.pins is not None:
+        out.append(jnp.zeros((system.pins.n, 3), dtype))
+    return out
+
+
 def DtW2(system: System, g_list):
     """sum_f D_f^T W_f^2 g_f -> [N,3] (no dt^2 factor)."""
     n = system.n_verts
