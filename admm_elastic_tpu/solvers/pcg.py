@@ -33,7 +33,13 @@ class PCGData:
     ell_cols: jax.Array  # i32 [N, K] off-diagonal neighbor columns
     ell_vals: jax.Array  # [N, K] off-diagonal A entries (pad = 0)
     diag_mass: jax.Array  # [N] lumped masses
-    diag_stiff: jax.Array  # [N] dt^2 D^T W^2 D diagonal
+    diag_stiff: jax.Array  # [N] dt^2 D^T W^2 D element (tet/tri) diagonal
+    # [N] pin contribution dt^2 w_pin^2 (pins hit only the diagonal: their
+    # D row is a single 1). Kept apart from diag_stiff because a per-scene
+    # stiffness sweep (parallel/batch.py) scales *material* stiffness only;
+    # scaling the pin diagonal too would make the operator disagree with
+    # the unscaled pin rhs and pinned vertices would settle at ~target/scale.
+    diag_pin: jax.Array  # [N]
     # Two-grid preconditioner level (None -> plain Jacobi). agg maps each
     # vertex to its aggregate; coarse_inv is the dense inverse of the
     # Galerkin coarse operator P^T A P (piecewise-constant P), so both
@@ -48,7 +54,7 @@ class PCGData:
 
     def diag(self, scale=None):
         d = self.diag_stiff if scale is None else scale * self.diag_stiff
-        return self.diag_mass + d
+        return self.diag_mass + self.diag_pin + d
 
     def precondition(self, scale=None, omega: float = 0.7):
         """Returns M^-1 apply: Jacobi, or a symmetric two-grid V-cycle
@@ -83,7 +89,7 @@ class PCGData:
 
 jax.tree_util.register_dataclass(
     PCGData,
-    data_fields=("ell_cols", "ell_vals", "diag_mass", "diag_stiff", "agg", "agg_gather", "coarse_inv"),
+    data_fields=("ell_cols", "ell_vals", "diag_mass", "diag_stiff", "diag_pin", "agg", "agg_gather", "coarse_inv"),
     meta_fields=(),
 )
 
@@ -95,6 +101,11 @@ def prepare(system, dtype, precond: str = "jacobi",
 
     ell_cols, ell_vals, diag = assembly.assemble_ell(system, dtype=np.float64)
     masses = np.asarray(system.masses, dtype=np.float64)
+    pin_diag = np.zeros_like(masses)
+    if system.pins is not None:
+        dt2 = system.dt * system.dt
+        w2 = np.asarray(system.pins.weight, dtype=np.float64) ** 2
+        np.add.at(pin_diag, np.asarray(system.pins.idx), dt2 * w2)
     agg = agg_gather = coarse_inv = None
     if precond == "twogrid":
         adj = assembly.vertex_adjacency(system)
@@ -114,7 +125,8 @@ def prepare(system, dtype, precond: str = "jacobi",
         ell_cols=jnp.asarray(ell_cols),
         ell_vals=jnp.asarray(ell_vals, dtype=dtype),
         diag_mass=jnp.asarray(masses, dtype=dtype),
-        diag_stiff=jnp.asarray(diag - masses, dtype=dtype),
+        diag_stiff=jnp.asarray(diag - masses - pin_diag, dtype=dtype),
+        diag_pin=jnp.asarray(pin_diag, dtype=dtype),
         agg=agg,
         agg_gather=agg_gather,
         coarse_inv=coarse_inv,

@@ -58,6 +58,26 @@ def test_batched_step_parameter_sweep():
     assert x[3][:, 1].min() > x[1][:, 1].min()
 
 
+def test_stiffness_sweep_keeps_pins_hard():
+    """Regression: the sweep must scale *material* stiffness only.
+
+    Scaling the pin diagonal along with diag_stiff made the PCG operator
+    disagree with the (unscaled) pin rhs, so pinned vertices settled at
+    ~target/scale for scale != 1 (ADVICE round 1, high)."""
+    from admm_elastic_tpu.parallel.batch import make_batched_step, make_scenario_batch
+
+    solver = _small_solver()
+    target = solver.x[0].copy()
+    batch = make_scenario_batch(
+        solver, 3, stiffness_scale=np.array([0.25, 1.0, 4.0]))
+    step = make_batched_step(solver, mesh=None, donate=False)
+    for _ in range(10):
+        batch = step(batch)
+    x = np.asarray(batch.x)
+    for s in range(3):
+        np.testing.assert_allclose(x[s, 0], target, atol=1e-6)
+
+
 def test_sharded_step_on_device_mesh():
     from admm_elastic_tpu.parallel.batch import (
         make_batched_step,
