@@ -37,6 +37,11 @@ class Hits:
     d_face: jax.Array  # i32 [H, 3]
     d_barys: jax.Array  # [H, 3]
     d_normal: jax.Array  # [H, 3]
+    # True if any fixed-capacity stage dropped a contact this detect
+    # (hash-grid cell cap or HIT_CAP compaction, collision/dynamic.py) —
+    # surfaced through the step into RuntimeData so a dropped contact is
+    # never invisible ("no silent drops").
+    overflow: jax.Array  # bool scalar
 
     @property
     def capacity(self) -> int:
@@ -55,7 +60,7 @@ jax.tree_util.register_dataclass(
     Hits,
     data_fields=(
         "p_mask", "p_vidx", "p_normal", "p_point",
-        "d_mask", "d_vidx", "d_face", "d_barys", "d_normal",
+        "d_mask", "d_vidx", "d_face", "d_barys", "d_normal", "overflow",
     ),
     meta_fields=(),
 )
@@ -74,6 +79,7 @@ def empty_hits(surf_inds, dtype) -> Hits:
         d_face=jnp.zeros((h, 3), dtype=jnp.int32),
         d_barys=z3,
         d_normal=z3,
+        overflow=jnp.asarray(False),
     )
 
 

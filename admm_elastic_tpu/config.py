@@ -17,6 +17,7 @@ LDLT = 0  # prefactored direct solve (no collisions allowed)
 NCMCGS = 1  # nodal-constrained multicolor Gauss-Seidel
 UZAWACG = 2  # Uzawa saddle-point CG
 PCG = 3  # TPU extension: matrix-free Jacobi-preconditioned CG (scalable)
+ALPCG = 4  # TPU extension: augmented-Lagrangian PCG hard contact (scalable)
 
 
 @dataclasses.dataclass
@@ -45,6 +46,19 @@ class Settings:
     gs_omega: float = 1.9
     uzawa_max_iters: int = 20
     uzawa_tol: float = 1e-10
+    # Uzawa inner A^-1 operator. The reference prefactors sparse A with
+    # SimplicialLDLT so UzawaCG scales to any mesh (src/LinearSolver.hpp:
+    # 79-84, src/UzawaCG.hpp:92-120 needs only A^-1 applies); our dense
+    # equilibrated inverse is the fastest apply on the MXU for medium N
+    # but O(N^2) memory. "auto" = dense below uzawa_dense_max_verts,
+    # sparse ELL-PCG (two-grid preconditioned, bounded inner iterations)
+    # above; "direct"/"pcg" force a mode. Explicit "pcg" uses the
+    # pcg_precond setting; "auto" always picks "twogrid" for the inner
+    # operator since each Schur iteration pays a full inner solve.
+    uzawa_inner: str = "auto"
+    uzawa_dense_max_verts: int = 8192
+    uzawa_inner_tol: float = 1e-8
+    uzawa_inner_iters: int = 200
     pcg_max_iters: int = 200
     pcg_tol: float = 1e-10
     # PCG preconditioner: "jacobi" (diagonal) or "twogrid" (aggregation
@@ -75,6 +89,17 @@ class Settings:
     # residual growth before falling back to the plain iterate.
     aa_window: int = 0
     aa_safeguard: float = 1.0
+    # SolverLog-tier convergence instrumentation (reference SolverLog,
+    # src/SolverLog.hpp:36-64, hooked into every LinearSolver). When True,
+    # step() routes through step_logged(): every global solve runs a
+    # fixed-length traced variant (no early exit) and the per-inner-
+    # iteration residual curves land in solver.solver_log
+    # (utils/logging.InnerLog). Set solver.solver_log.x_star to also get
+    # normalized error-vs-known-solution curves like the reference.
+    log_inner: bool = False
+    # Inner iterations recorded per global solve when log_inner is on
+    # (0 = the configured max iters of the active solver).
+    log_inner_iters: int = 0
     # Statically unroll the ADMM loop (admm_iters becomes compile-time):
     # XLA pipelines across iterations, ~35% lower per-iteration overhead at
     # ~5k-element scale, at the cost of admm_iters-x compile time.
@@ -127,7 +152,7 @@ class Settings:
             "\t-v: verbosity (higher -> show more)\n"
             "\t-it: # admm iters\n"
             "\t-g: gravity (m/s^2)\n"
-            "\t-ls: linear solver (0=direct, 1=NCMCGS, 2=UzawaCG, 3=PCG)\n"
+            "\t-ls: linear solver (0=direct, 1=NCMCGS, 2=UzawaCG, 3=PCG, 4=AL-PCG contact)\n"
             "\t-ck: constraint weights (-1 = auto)\n"
             "=========================================="
         )

@@ -58,14 +58,17 @@ class ScenarioBatch:
     x: jax.Array  # [S, N, 3]
     v: jax.Array  # [S, N, 3]
     y: jax.Array  # [S, H2]
-    n_active_prev: jax.Array  # i32 [S]
+    prev_active: jax.Array  # bool [S, H2] previous active constraint rows
     stiffness_scale: jax.Array  # [S]
     gravity: jax.Array  # [S]
+    # Sticky per-scene collision-capacity flag (ORed every step): a scene
+    # that ever dropped a contact stays flagged for the whole rollout.
+    overflow: jax.Array  # bool [S]
 
 
 jax.tree_util.register_dataclass(
     ScenarioBatch,
-    data_fields=("x", "v", "y", "n_active_prev", "stiffness_scale", "gravity"),
+    data_fields=("x", "v", "y", "prev_active", "stiffness_scale", "gravity", "overflow"),
     meta_fields=(),
 )
 
@@ -87,9 +90,10 @@ def make_scenario_batch(solver, n_scenes: int, stiffness_scale=None, gravity=Non
         x=x,
         v=jnp.zeros_like(x),
         y=jnp.broadcast_to(st.y, (n_scenes,) + st.y.shape),
-        n_active_prev=jnp.full((n_scenes,), -1, jnp.int32),
+        prev_active=jnp.broadcast_to(st.prev_active, (n_scenes,) + st.prev_active.shape),
         stiffness_scale=jnp.asarray(stiffness_scale, dtype=dtype),
         gravity=jnp.asarray(gravity, dtype=dtype),
+        overflow=jnp.zeros((n_scenes,), dtype=bool),
     )
 
 
@@ -124,20 +128,21 @@ def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True):
         )
         params = dict(base_params)
         params["gravity"] = grav
-        state = sysm.SimState(x=x, v=v, y=y, n_active_prev=na)
-        new_state, _ = _step_core(
+        state = sysm.SimState(x=x, v=v, y=y, prev_active=na)
+        new_state, _, ovf = _step_core(
             sys_s, pcg_s, obstacles, colliders, winds, surf, pin_mask, pin_target,
             state, params,
             linsolver=cfg.PCG, prox_iters=prox_iters, with_passive=True,
         )
-        return new_state.x, new_state.v, new_state.y, new_state.n_active_prev
+        return new_state.x, new_state.v, new_state.y, new_state.prev_active, ovf
 
     def step(batch: ScenarioBatch) -> ScenarioBatch:
-        x, v, y, na = jax.vmap(one)(
-            batch.x, batch.v, batch.y, batch.n_active_prev,
+        x, v, y, na, ovf = jax.vmap(one)(
+            batch.x, batch.v, batch.y, batch.prev_active,
             batch.stiffness_scale, batch.gravity,
         )
-        return dataclasses.replace(batch, x=x, v=v, y=y, n_active_prev=na)
+        return dataclasses.replace(batch, x=x, v=v, y=y, prev_active=na,
+                                   overflow=batch.overflow | ovf)
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -151,9 +156,10 @@ def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True):
         x=NamedSharding(mesh, xv_spec),
         v=NamedSharding(mesh, xv_spec),
         y=NamedSharding(mesh, P("scene")),
-        n_active_prev=NamedSharding(mesh, P("scene")),
+        prev_active=NamedSharding(mesh, P("scene")),
         stiffness_scale=NamedSharding(mesh, P("scene")),
         gravity=NamedSharding(mesh, P("scene")),
+        overflow=NamedSharding(mesh, P("scene")),
     )
     return jax.jit(
         step,

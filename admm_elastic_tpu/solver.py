@@ -33,6 +33,7 @@ from admm_elastic_tpu.collision.dynamic import TetMeshCollider, detect_dynamic
 from admm_elastic_tpu.collision.passive import detect_passive
 from admm_elastic_tpu.config import Settings
 from admm_elastic_tpu.materials import Lame
+from admm_elastic_tpu.solvers import alcg as alcg_mod
 from admm_elastic_tpu.solvers import anderson as anderson_mod
 from admm_elastic_tpu.solvers import direct as direct_mod
 from admm_elastic_tpu.solvers import gs as gs_mod
@@ -66,6 +67,10 @@ class RuntimeData:
     collision_ms: float = 0.0
     step_ms: float = 0.0
     inner_iters: int = 0
+    # True if any fixed-capacity collision stage dropped a contact during
+    # the step(s) this record covers (hash-grid cell cap / HIT_CAP,
+    # collision/dynamic.py) — the "no silent drops" accounting surfaced.
+    collision_overflow: bool = False
 
     def print(self, settings: Settings):
         it = max(settings.admm_iters, 1)
@@ -75,6 +80,8 @@ class RuntimeData:
         print(f"Total collision update: {self.collision_ms}ms")
         print(f"ADMM Iters: {settings.admm_iters}")
         print(f"Avg Inner Iters: {self.inner_iters / it}")
+        if self.collision_overflow:
+            print("WARNING: collision buffers overflowed (contacts dropped)")
 
 
 # ---------------------------------------------------------------------------
@@ -101,6 +108,7 @@ def _detect(obstacles, colliders, x, surf_inds, with_passive: bool, dtype):
         d_face = jnp.zeros((surf_inds.shape[0], 3), dtype=jnp.int32)
         d_barys = jnp.zeros((surf_inds.shape[0], 3), dtype=dtype)
         d_normal = jnp.zeros((surf_inds.shape[0], 3), dtype=dtype)
+        overflow = hits.overflow
         for c in colliders:
             res = detect_dynamic(c, x, xs, surf_inds)
             take = res["mask"] & ~d_mask
@@ -108,10 +116,62 @@ def _detect(obstacles, colliders, x, surf_inds, with_passive: bool, dtype):
             d_barys = jnp.where(take[:, None], res["barys"], d_barys)
             d_normal = jnp.where(take[:, None], res["normal"], d_normal)
             d_mask = d_mask | res["mask"]
+            # Capacity-drop accounting: any cell-cap or HIT_CAP overflow
+            # means a contact was deferred/lost this iteration.
+            overflow = overflow | jnp.any(res["broad_overflow"]) | res["hit_overflow"]
         hits = dataclasses.replace(
-            hits, d_mask=d_mask, d_face=d_face, d_barys=d_barys, d_normal=d_normal
+            hits, d_mask=d_mask, d_face=d_face, d_barys=d_barys,
+            d_normal=d_normal, overflow=overflow,
         )
     return hits
+
+
+def _make_apply_Ainv(system, solve_data, params, refine_passes: int):
+    """The prefactored/iterative A^-1 apply shared by the LDLT and Uzawa
+    global steps (and by step_profiled, so profiled runs use the same
+    numerics as the fused path).
+
+    Two operator flavors:
+    - DirectData (dense equilibrated inverse / Cholesky): solve + optional
+      iterative-refinement passes + pin-row Jacobi polish.
+    - PCGData (sparse ELL + Jacobi/two-grid preconditioner): an inner PCG
+      solve to uzawa_inner_tol — the O(nnz) replacement for the reference's
+      SimplicialLDLT prefactor (src/LinearSolver.hpp:79-84) that lets
+      UzawaCG run at mesh sizes where a dense N x N inverse cannot exist.
+    """
+    if isinstance(solve_data, pcg_mod.PCGData):
+        precond = solve_data.precondition()
+
+        def apply_Ainv(rhs_, x0=None):
+            x0 = jnp.zeros_like(rhs_) if x0 is None else x0
+            xx, _ = pcg_mod.solve(
+                solve_data.apply, precond, rhs_, x0,
+                params["uzawa_inner_tol"], params["uzawa_inner_iters"],
+            )
+            return xx
+
+        return apply_Ainv
+
+    def apply_Ainv(rhs_, x0=None):
+        # Prefactored solve + iterative-refinement passes: each recovers
+        # digits the f32 A^-1 matmul loses to conditioning (pins put
+        # ~dt^2*w_pin^2 / mass ~ 1e5 on the diagonal) at the cost of one
+        # matrix-free A apply + one extra solve.
+        del x0  # exact solve; warm start meaningless
+        xx = direct_mod.solve(solve_data, rhs_)
+        for _ in range(refine_passes):
+            # NOTE: the residual must use the FACTORED matrix-free apply
+            # (M x + dt^2 D^T W^2 (D x)) — a dense f32 A @ x loses ~3 digits
+            # to cancellation across the pin-scaled rows and makes the
+            # "refinement" actively harmful (measured 0.88 vs 7e-3 relative
+            # trajectory error on the 50-step beam).
+            r = rhs_ - sysm.A_mv(system, xx)
+            xx = xx + direct_mod.solve(solve_data, r)
+        # Pin-row Jacobi polish: restores hard-pin accuracy in f32 for the
+        # cost of one tiny gather (see solvers/direct.polish).
+        return direct_mod.polish(solve_data, xx, rhs_)
+
+    return apply_Ainv
 
 
 def _step_core(
@@ -150,23 +210,7 @@ def _step_core(
     z = sysm.zeros_like_Dx(system, dtype)
     u = [jnp.zeros_like(zi) for zi in z]
 
-    def apply_Ainv(rhs_):
-        # Prefactored solve + iterative-refinement passes: each recovers
-        # digits the f32 A^-1 matmul loses to conditioning (pins put
-        # ~dt^2*w_pin^2 / mass ~ 1e5 on the diagonal) at the cost of one
-        # matrix-free A apply + one extra solve.
-        xx = direct_mod.solve(solve_data, rhs_)
-        for _ in range(refine_passes):
-            # NOTE: the residual must use the FACTORED matrix-free apply
-            # (M x + dt^2 D^T W^2 (D x)) — a dense f32 A @ x loses ~3 digits
-            # to cancellation across the pin-scaled rows and makes the
-            # "refinement" actively harmful (measured 0.88 vs 7e-3 relative
-            # trajectory error on the 50-step beam).
-            r = rhs_ - sysm.A_mv(system, xx)
-            xx = xx + direct_mod.solve(solve_data, r)
-        # Pin-row Jacobi polish: restores hard-pin accuracy in f32 for the
-        # cost of one tiny gather (see solvers/direct.polish).
-        return direct_mod.polish(solve_data, xx, rhs_)
+    apply_Ainv = _make_apply_Ainv(system, solve_data, params, refine_passes)
 
     def do_global(b, curr_x, hits, y, n_prev):
         """One GLOBAL solve (src/Solver.cpp:98-99) with the configured mode."""
@@ -194,8 +238,11 @@ def _step_core(
             return x_new, y, n_prev, it
         if linsolver == cfg.UZAWACG:
             hits = hits.dedup()
-            n_act = hits.n_active()
-            y = jnp.where(n_act == n_prev, y, jnp.zeros_like(y))
+            # Warm-start gate: keep y only when the active SET is unchanged
+            # (stricter than the reference's count gate, src/UzawaCG.hpp:
+            # 68-74 — see SimState docstring for why count-gating tunnels).
+            act = jnp.concatenate([hits.p_mask, hits.d_mask])
+            y = jnp.where(jnp.all(act == n_prev), y, jnp.zeros_like(y))
             x_new, y, it = uzawa_mod.solve(
                 apply_Ainv,
                 hits,
@@ -206,7 +253,7 @@ def _step_core(
                 params["uzawa_max_iters"],
                 params["uzawa_tol"],
             )
-            return x_new, y, n_act, it
+            return x_new, y, act, it
         if linsolver == cfg.PCG:
             x_new, it = pcg_mod.solve(
                 solve_data.apply,
@@ -217,17 +264,26 @@ def _step_core(
                 params["pcg_max_iters"],
             )
             return x_new, y, n_prev, it
+        if linsolver == cfg.ALPCG:
+            hits = hits.dedup()
+            act = jnp.concatenate([hits.p_mask, hits.d_mask])
+            y = jnp.where(jnp.all(act == n_prev), y, jnp.zeros_like(y))
+            x_new, y, it = alcg_mod.solve(
+                solve_data, hits, params["ck"], b, curr_x, y,
+                params["pcg_tol"], params["pcg_max_iters"],
+            )
+            return x_new, y, act, it
         raise ValueError(f"unknown linsolver {linsolver}")
 
     def admm_iter(_, carry):
-        curr_x, z, u, y, n_prev, tot = carry
+        curr_x, z, u, y, n_prev, tot, ovf = carry
         # LOCAL (src/Solver.cpp:84-87)
         z, u = sysm.local_step(system, curr_x, z, u, prox_iters)
         # COLLISION (src/Solver.cpp:92-93)
         hits = _detect(obstacles, colliders, curr_x, surf_inds, with_passive, dtype)
         b = sysm.rhs(system, M_xbar, z, u)
         curr_x, y, n_prev, it = do_global(b, curr_x, hits, y, n_prev)
-        return (curr_x, z, u, y, n_prev, tot + it)
+        return (curr_x, z, u, y, n_prev, tot + it, ovf | hits.overflow)
 
     # --- Anderson-accelerated variant: the same local+global iteration seen
     # as the Douglas-Rachford map v -> g(v) on v = D x + u, with safeguarded
@@ -249,7 +305,7 @@ def _step_core(
         return out
 
     def admm_iter_aa(_, carry):
-        v_flat, curr_x, y, n_prev, tot, aa = carry
+        v_flat, curr_x, y, n_prev, tot, aa, ovf = carry
         v_list = _unflat(v_flat, z)
         # LOCAL from v: z = prox(v), u = v - z.
         z_new = [b_.prox(vi, prox_iters) for b_, vi in zip(batches, v_list)]
@@ -261,21 +317,23 @@ def _step_core(
         v_next, aa, _ = anderson_mod.update(
             aa, v_flat, gv, safeguard=params["aa_safeguard"]
         )
-        return (v_next, x_new, y, n_prev, tot + it, aa)
+        return (v_next, x_new, y, n_prev, tot + it, aa, ovf | hits.overflow)
 
+    ovf0 = jnp.asarray(False)
     if aa_window > 0:
         v0 = _flat(sysm.Dx(system, x_bar))
-        carry0 = (v0, x_bar, state.y, state.n_active_prev,
-                  jnp.asarray(0, jnp.int32), anderson_mod.init(aa_window, v0))
+        carry0 = (v0, x_bar, state.y, state.prev_active,
+                  jnp.asarray(0, jnp.int32), anderson_mod.init(aa_window, v0), ovf0)
         if unroll_admm_iters > 0:
             carry = carry0
             for _ in range(unroll_admm_iters):
                 carry = admm_iter_aa(0, carry)
         else:
             carry = jax.lax.fori_loop(0, params["admm_iters"], admm_iter_aa, carry0)
-        _, curr_x, y, n_prev, inner, _ = carry
+        _, curr_x, y, n_prev, inner, _, ovf = carry
     else:
-        carry0 = (x_bar, z, u, state.y, state.n_active_prev, jnp.asarray(0, jnp.int32))
+        carry0 = (x_bar, z, u, state.y, state.prev_active,
+                  jnp.asarray(0, jnp.int32), ovf0)
         if unroll_admm_iters > 0:
             # Static unroll: lets XLA software-pipeline across ADMM iterations
             # (measured ~35% lower per-iteration overhead at bench scale) at the
@@ -284,15 +342,15 @@ def _step_core(
             carry = carry0
             for _ in range(unroll_admm_iters):
                 carry = admm_iter(0, carry)
-            curr_x, z, u, y, n_prev, inner = carry
+            curr_x, z, u, y, n_prev, inner, ovf = carry
         else:
-            curr_x, z, u, y, n_prev, inner = jax.lax.fori_loop(
+            curr_x, z, u, y, n_prev, inner, ovf = jax.lax.fori_loop(
                 0, params["admm_iters"], admm_iter, carry0
             )
 
     v_new = (curr_x - x0) * (1.0 / dt)
-    new_state = sysm.SimState(x=curr_x, v=v_new, y=y, n_active_prev=n_prev)
-    return new_state, inner
+    new_state = sysm.SimState(x=curr_x, v=v_new, y=y, prev_active=n_prev)
+    return new_state, inner, ovf
 
 
 _step_impl = jax.jit(_step_core, static_argnames=("linsolver", "prox_iters", "with_passive", "refine_passes", "unroll_admm_iters", "aa_window"))
@@ -303,19 +361,24 @@ def _run_core(system, solve_data, obstacles, colliders, wind_forces, surf_inds,
               linsolver: int, prox_iters: int, with_passive: bool,
               refine_passes: int = 1, unroll_admm_iters: int = 0,
               aa_window: int = 0):
-    """n_steps timesteps fully on device (no host sync between steps)."""
+    """n_steps timesteps fully on device (no host sync between steps).
 
-    def body(_, st):
-        st, _ = _step_core(
+    Returns (state, overflow): overflow is the sticky OR of every step's
+    collision-capacity flag so a dropped contact anywhere in the rollout
+    is still visible at the end."""
+
+    def body(_, carry):
+        st, ovf = carry
+        st, _, ovf_step = _step_core(
             system, solve_data, obstacles, colliders, wind_forces, surf_inds,
             pin_mask, pin_target, st, params,
             linsolver=linsolver, prox_iters=prox_iters, with_passive=with_passive,
             refine_passes=refine_passes, unroll_admm_iters=unroll_admm_iters,
             aa_window=aa_window,
         )
-        return st
+        return st, ovf | ovf_step
 
-    return jax.lax.fori_loop(0, n_steps, body, state)
+    return jax.lax.fori_loop(0, n_steps, body, (state, jnp.asarray(False)))
 
 
 _run_impl = jax.jit(_run_core, static_argnames=("linsolver", "prox_iters", "with_passive", "refine_passes", "unroll_admm_iters", "aa_window"))
@@ -350,6 +413,11 @@ class Solver:
         self._pin_mask = None
         self._pin_target = None
         self._runtime = RuntimeData()
+        # SolverLog tier (filled by step_logged; set .x_star beforehand for
+        # error-vs-known-solution curves, reference src/SolverLog.hpp:36-55).
+        from admm_elastic_tpu.utils.logging import InnerLog
+
+        self.solver_log = InnerLog(residuals=np.zeros((0, 0)))
 
     # -- staging API --------------------------------------------------------
 
@@ -414,7 +482,7 @@ class Solver:
             return
 
         ls = self.m_settings.linsolver
-        if ls in (cfg.LDLT, cfg.UZAWACG, cfg.PCG):
+        if ls in (cfg.LDLT, cfg.UZAWACG, cfg.PCG, cfg.ALPCG):
             pins = self.system.pins
             if pins is None or pins.n == 0:
                 if new_pins:
@@ -526,7 +594,7 @@ class Solver:
         # Pin energies for the energy-based-pin paths (src/Solver.cpp:190-196;
         # PCG is our extension and takes pins as energies like LDLT).
         pins_batch = None
-        if s.linsolver in (cfg.LDLT, cfg.UZAWACG, cfg.PCG) and self._pins:
+        if s.linsolver in (cfg.LDLT, cfg.UZAWACG, cfg.PCG, cfg.ALPCG) and self._pins:
             idxs = np.array(sorted(self._pins.keys()), dtype=np.int64)
             tgts = np.stack([self._pins[int(i)] for i in idxs])
             pins_batch = el.build_pin_batch(idxs, tgts, dtype=dtype)
@@ -567,7 +635,10 @@ class Solver:
         # Constraint weight auto-selection (src/Solver.cpp:235,239).
         all_w = [np.asarray(b.weight) for b in tets] + [np.asarray(b.weight) for b in tris]
         max_w = max((float(w.max()) for w in all_w if w.size), default=1.0)
-        if s.linsolver == cfg.NCMCGS:
+        if s.linsolver in (cfg.NCMCGS, cfg.ALPCG):
+            # Penalty-type modes want heavy rows (3x the stiffest ADMM
+            # weight, src/Solver.cpp:235); Uzawa enforces exactly (ck=1,
+            # src/Solver.cpp:239).
             ck = max_w * 3.0
         else:
             ck = 1.0
@@ -619,11 +690,28 @@ class Solver:
                 colors_mask=jnp.asarray(gmask),
             )
         elif ls == cfg.UZAWACG:
-            A = assembly.assemble_dense(self.system)
-            self._solve_data = direct_mod.prepare(
-                A, dtype, mode=getattr(s, "direct_mode", "cho"), pin_rows=_pin_rows()
-            )
-        elif ls == cfg.PCG:
+            inner = s.uzawa_inner
+            if inner == "auto":
+                inner = "direct" if n <= s.uzawa_dense_max_verts else "pcg"
+                inner_precond = "twogrid"
+            else:
+                inner_precond = s.pcg_precond
+            if inner == "direct":
+                A = assembly.assemble_dense(self.system)
+                self._solve_data = direct_mod.prepare(
+                    A, dtype, mode=getattr(s, "direct_mode", "cho"), pin_rows=_pin_rows()
+                )
+            elif inner == "pcg":
+                # Sparse O(nnz) inner operator: the reference's
+                # SimplicialLDLT role (src/LinearSolver.hpp:79-84) at any
+                # mesh size; each Uzawa Schur iteration runs an inner PCG
+                # solve to uzawa_inner_tol.
+                self._solve_data = pcg_mod.prepare(
+                    self.system, dtype, precond=inner_precond
+                )
+            else:
+                raise ValueError(f"unknown uzawa_inner {s.uzawa_inner!r}")
+        elif ls in (cfg.PCG, cfg.ALPCG):
             self._solve_data = pcg_mod.prepare(
                 self.system, dtype, precond=s.pcg_precond
             )
@@ -638,7 +726,7 @@ class Solver:
             x=jnp.asarray(x_np, dtype=dtype),
             v=jnp.zeros((n, 3), dtype=dtype),
             y=jnp.zeros((2 * cap,), dtype=dtype),
-            n_active_prev=jnp.asarray(-1, jnp.int32),
+            prev_active=jnp.zeros((2 * cap,), dtype=bool),
         )
 
         if s.verbose >= 1:
@@ -662,6 +750,8 @@ class Solver:
             gs_tol=jnp.asarray(s.gs_tol, dtype),
             uzawa_max_iters=jnp.asarray(s.uzawa_max_iters, jnp.int32),
             uzawa_tol=jnp.asarray(s.uzawa_tol, dtype),
+            uzawa_inner_tol=jnp.asarray(s.uzawa_inner_tol, dtype),
+            uzawa_inner_iters=jnp.asarray(s.uzawa_inner_iters, jnp.int32),
             pcg_max_iters=jnp.asarray(s.pcg_max_iters, jnp.int32),
             pcg_tol=jnp.asarray(s.pcg_tol, dtype),
             aa_safeguard=jnp.asarray(s.aa_safeguard, dtype),
@@ -677,12 +767,14 @@ class Solver:
         """
         assert self.initialized, "call initialize() first"
         s = self.m_settings
+        if s.log_inner:
+            return self.step_logged()
         if s.verbose >= 2:
             return self.step_profiled()
         if s.verbose > 0:
             print(f"\nSimulating with dt: {s.timestep_s}s...", end="", flush=True)
         t0 = time.perf_counter()
-        new_state, inner = _step_impl(
+        new_state, inner, overflow = _step_impl(
             self.system,
             self._solve_data,
             tuple(self.obstacles),
@@ -703,8 +795,12 @@ class Solver:
         new_state = jax.block_until_ready(new_state)
         self.state = new_state
         self._runtime = RuntimeData(
-            step_ms=(time.perf_counter() - t0) * 1e3, inner_iters=int(inner)
+            step_ms=(time.perf_counter() - t0) * 1e3, inner_iters=int(inner),
+            collision_overflow=bool(overflow),
         )
+        if self._runtime.collision_overflow and s.verbose >= 0:
+            print("**Solver::step Warning: collision capacity overflow — "
+                  "contacts were dropped this step (raise HIT_CAP/cell_cap).")
         if s.verbose > 0:
             self._runtime.print(s)
 
@@ -716,6 +812,12 @@ class Solver:
         step(); use for profiling only."""
         assert self.initialized, "call initialize() first"
         s = self.m_settings
+        if s.aa_window > 0:
+            raise ValueError(
+                "step_profiled does not implement Anderson acceleration; "
+                "set aa_window=0 or verbose<=1 (profiled numerics would "
+                "silently differ from the fused path otherwise)."
+            )
         system = self.system
         params = self._params()
         dt = system.dt
@@ -732,7 +834,7 @@ class Solver:
         u = [jnp.zeros_like(zi) for zi in z]
         curr_x = x_bar
         y = self.state.y
-        n_prev = self.state.n_active_prev
+        n_prev = self.state.prev_active
         dtype = self._dtype
         obstacles = tuple(self.obstacles)
         colliders = tuple(self.colliders)
@@ -740,11 +842,13 @@ class Solver:
 
         local_fn = jax.jit(partial(sysm.local_step, n_newton_iters=s.prox_newton_iters))
         detect_fn = jax.jit(partial(_detect, with_passive=with_passive, dtype=dtype))
+        # Same A^-1 operator (refine_passes + polish / inner PCG) as the
+        # fused path, so profiled runs match step() numerics exactly.
+        apply_Ainv = _make_apply_Ainv(system, self._solve_data, params, s.refine_passes)
 
         def global_fn(b, curr_x, hits, y, n_prev):
             if s.linsolver == cfg.LDLT:
-                x = direct_mod.polish(self._solve_data, direct_mod.solve(self._solve_data, b), b)
-                return x, y, n_prev, jnp.asarray(1, jnp.int32)
+                return apply_Ainv(b), y, n_prev, jnp.asarray(1, jnp.int32)
             if s.linsolver == cfg.NCMCGS:
                 hd = dataclasses.replace(hits, p_mask=jnp.zeros_like(hits.p_mask))
                 x, it = gs_mod.solve(
@@ -756,15 +860,21 @@ class Solver:
                 return x, y, n_prev, it
             if s.linsolver == cfg.UZAWACG:
                 hits = hits.dedup()
-                n_act = hits.n_active()
-                y2 = jnp.where(n_act == n_prev, y, jnp.zeros_like(y))
+                act = jnp.concatenate([hits.p_mask, hits.d_mask])
+                y2 = jnp.where(jnp.all(act == n_prev), y, jnp.zeros_like(y))
                 x, y3, it = uzawa_mod.solve(
-                    lambda r: direct_mod.polish(self._solve_data,
-                                                direct_mod.solve(self._solve_data, r), r),
-                    hits,
+                    apply_Ainv, hits,
                     params["ck"], b, curr_x, y2, params["uzawa_max_iters"],
                     params["uzawa_tol"])
-                return x, y3, n_act, it
+                return x, y3, act, it
+            if s.linsolver == cfg.ALPCG:
+                hits = hits.dedup()
+                act = jnp.concatenate([hits.p_mask, hits.d_mask])
+                y2 = jnp.where(jnp.all(act == n_prev), y, jnp.zeros_like(y))
+                x, y3, it = alcg_mod.solve(
+                    self._solve_data, hits, params["ck"], b, curr_x, y2,
+                    params["pcg_tol"], params["pcg_max_iters"])
+                return x, y3, act, it
             x, it = pcg_mod.solve(self._solve_data.apply,
                                   self._solve_data.precondition(), b, curr_x,
                                   params["pcg_tol"], params["pcg_max_iters"])
@@ -782,6 +892,7 @@ class Solver:
             hits = jax.block_until_ready(
                 detect_fn(obstacles, colliders, curr_x, self._surf_inds_dev))
             rt.collision_ms += (time.perf_counter() - t) * 1e3
+            rt.collision_overflow |= bool(hits.overflow)
 
             t = time.perf_counter()
             b = rhs_jit(M_xbar, z, u)
@@ -791,12 +902,133 @@ class Solver:
             rt.inner_iters += int(it)
 
         v_new = (curr_x - x0) * (1.0 / dt)
-        self.state = sysm.SimState(x=curr_x, v=v_new, y=y, n_active_prev=n_prev)
+        self.state = sysm.SimState(x=curr_x, v=v_new, y=y, prev_active=n_prev)
         rt.step_ms = (time.perf_counter() - t_all) * 1e3
         self._runtime = rt
         if s.verbose > 0:
             rt.print(s)
         return rt
+
+    def step_logged(self):
+        """One timestep recording per-inner-iteration residual curves for
+        every global solve (SolverLog parity, src/SolverLog.hpp:36-64,
+        hooked at src/NodalMultiColorGS.hpp:61,135,144 and
+        src/UzawaCG.hpp:59,112,122). Each global solve runs a fixed-length
+        traced variant (no early exit), so the curves are shape-static
+        [admm_iters, n_inner] and cost ~one extra solve, not per-iteration
+        host syncs. Set ``solver.solver_log.x_star`` beforehand to also
+        record normalized error-vs-known-solution like the reference.
+        Results land in ``solver.solver_log`` (utils/logging.InnerLog)."""
+        from admm_elastic_tpu.utils import logging as log_utils
+
+        assert self.initialized, "call initialize() first"
+        s = self.m_settings
+        if s.aa_window > 0:
+            raise ValueError("step_logged does not implement Anderson "
+                             "acceleration; set aa_window=0.")
+        system = self.system
+        params = self._params()
+        dt = system.dt
+        dtype = self._dtype
+        n_inner = s.log_inner_iters or {
+            cfg.LDLT: 1, cfg.NCMCGS: s.gs_max_iters,
+            cfg.UZAWACG: s.uzawa_max_iters, cfg.PCG: s.pcg_max_iters,
+            cfg.ALPCG: s.pcg_max_iters,
+        }[s.linsolver]
+        x_star_np = getattr(self.solver_log, "x_star", None)
+        x_star = (jnp.asarray(x_star_np, dtype)
+                  if x_star_np is not None
+                  and np.shape(x_star_np) == self.state.x.shape else None)
+        # Reference semantics: SolverLog's x0 (the error normalizer) is the
+        # iterate at the FIRST recorded inner iteration of the whole run,
+        # not per solve (src/SolverLog.hpp:42-47: m_x0 captured once until
+        # reset). Normalize every curve by the pre-step distance.
+        err_denom = (jnp.maximum(jnp.linalg.norm(x_star - self.state.x),
+                                 jnp.finfo(dtype).tiny)
+                     if x_star is not None else None)
+
+        x0, v = self.state.x, self.state.v
+        for f in self.ext_forces:
+            v = f.project(dt, x0, v, system.masses)
+        v = v.at[:, 1].add(dt * params["gravity"])
+        x_bar = x0 + dt * v
+        M_xbar = system.masses[:, None] * x_bar
+        z = sysm.zeros_like_Dx(system, dtype)
+        u = [jnp.zeros_like(zi) for zi in z]
+        curr_x = x_bar
+        y = self.state.y
+        n_prev = self.state.prev_active
+        obstacles = tuple(self.obstacles)
+        colliders = tuple(self.colliders)
+        with_passive = s.linsolver != cfg.NCMCGS
+
+        local_fn = jax.jit(partial(sysm.local_step, n_newton_iters=s.prox_newton_iters))
+        detect_fn = jax.jit(partial(_detect, with_passive=with_passive, dtype=dtype))
+        apply_Ainv = _make_apply_Ainv(system, self._solve_data, params, s.refine_passes)
+
+        def global_traced(b, curr_x, hits, y, n_prev):
+            zero = jnp.zeros((n_inner,), dtype)
+            if s.linsolver == cfg.LDLT:
+                x = apply_Ainv(b)
+                res = jnp.linalg.norm(b - sysm.A_mv(system, x))
+                err = (jnp.linalg.norm(x_star - x) / err_denom
+                       if x_star is not None else jnp.asarray(0.0, dtype))
+                return (x, y, n_prev, jnp.full((n_inner,), res, dtype),
+                        jnp.full((n_inner,), err, dtype))
+            if s.linsolver == cfg.NCMCGS:
+                hd = dataclasses.replace(hits, p_mask=jnp.zeros_like(hits.p_mask))
+                x, tr = gs_mod.solve_traced(
+                    self._solve_data.ell_cols, self._solve_data.ell_vals,
+                    self._solve_data.diag, self._solve_data.colors,
+                    self._solve_data.colors_mask, b, curr_x, self._pin_mask,
+                    self._pin_target, obstacles, hd, params["ck"],
+                    params["omega"], n_inner, x_star=x_star,
+                    err_denom=err_denom)
+                return x, y, n_prev, tr["res"], (tr["err"] if x_star is not None else zero)
+            if s.linsolver == cfg.UZAWACG:
+                hits = hits.dedup()
+                act = jnp.concatenate([hits.p_mask, hits.d_mask])
+                y2 = jnp.where(jnp.all(act == n_prev), y, jnp.zeros_like(y))
+                x, y3, tr = uzawa_mod.solve_traced(
+                    apply_Ainv, hits, params["ck"], b, curr_x, y2, n_inner,
+                    x_star=x_star, err_denom=err_denom)
+                return x, y3, act, tr["res"], (tr["err"] if x_star is not None else zero)
+            if s.linsolver == cfg.ALPCG:
+                hits = hits.dedup()
+                act = jnp.concatenate([hits.p_mask, hits.d_mask])
+                y2 = jnp.where(jnp.all(act == n_prev), y, jnp.zeros_like(y))
+                x, y3, tr = alcg_mod.solve_traced(
+                    self._solve_data, hits, params["ck"], b, curr_x, y2,
+                    n_inner, x_star=x_star, err_denom=err_denom)
+                return x, y3, act, tr["res"], (tr["err"] if x_star is not None else zero)
+            x, tr = pcg_mod.solve_traced(
+                self._solve_data.apply, self._solve_data.precondition(),
+                b, curr_x, n_inner, x_star=x_star, err_denom=err_denom)
+            return x, y, n_prev, tr["res"], (tr["err"] if x_star is not None else zero)
+
+        global_jit = jax.jit(global_traced)
+        rhs_jit = jax.jit(partial(sysm.rhs, system))
+
+        res_rows, err_rows = [], []
+        b = None
+        for _ in range(s.admm_iters):
+            z, u = local_fn(system, curr_x, z, u)
+            hits = detect_fn(obstacles, colliders, curr_x, self._surf_inds_dev)
+            b = rhs_jit(M_xbar, z, u)
+            curr_x, y, n_prev, res, err = global_jit(b, curr_x, hits, y, n_prev)
+            res_rows.append(np.asarray(res))
+            err_rows.append(np.asarray(err))
+
+        v_new = (curr_x - x0) * (1.0 / dt)
+        self.state = sysm.SimState(x=curr_x, v=v_new, y=y, prev_active=n_prev)
+        final_r = float(jnp.linalg.norm(sysm.A_mv(system, curr_x) - b)) if b is not None else 0.0
+        self.solver_log = log_utils.InnerLog(
+            residuals=np.stack(res_rows) if res_rows else np.zeros((0, n_inner)),
+            errors=(np.stack(err_rows) if x_star is not None and err_rows else None),
+            final_r=final_r,
+            x_star=x_star_np,
+        )
+        return self.solver_log
 
     def run(self, n_steps: int):
         """Advance n_steps entirely on device (one dispatch, no per-step
@@ -805,7 +1037,7 @@ class Solver:
         assert self.initialized, "call initialize() first"
         s = self.m_settings
         t0 = time.perf_counter()
-        new_state = _run_impl(
+        new_state, overflow = _run_impl(
             self.system,
             self._solve_data,
             tuple(self.obstacles),
@@ -825,7 +1057,14 @@ class Solver:
             aa_window=s.aa_window,
         )
         self.state = jax.block_until_ready(new_state)
-        self._runtime = RuntimeData(step_ms=(time.perf_counter() - t0) * 1e3 / max(n_steps, 1))
+        self._runtime = RuntimeData(
+            step_ms=(time.perf_counter() - t0) * 1e3 / max(n_steps, 1),
+            collision_overflow=bool(overflow),
+        )
+        if self._runtime.collision_overflow:
+            print("**Solver::run Warning: collision capacity overflow — "
+                  "contacts were dropped during the rollout (raise "
+                  "HIT_CAP/cell_cap).")
 
     def save_matrix(self, filename: str):
         """Dump the single-component global matrix (src/Solver.cpp:264-269)."""

@@ -58,42 +58,19 @@ def ell_offdiag_mv(ell_cols, ell_vals, x):
     return jnp.sum(ell_vals[..., None] * x[ell_cols], axis=1)
 
 
-def solve(
-    ell_cols,
-    ell_vals,
-    diag,
-    colors,
-    colors_mask,
-    b,
-    x0,
-    pin_mask,
-    pin_target,
-    obstacles,
-    hits: con.Hits,
-    ck,
-    omega,
-    max_iters,
-    tol,
+def _sweep_setup(
+    ell_cols, ell_vals, diag, colors, colors_mask, b, pin_mask, pin_target,
+    obstacles, hits: con.Hits, ck, omega,
 ):
-    """Run constrained multicolor SOR sweeps. Returns (x, iters).
-
-    colors: i32 [C, L] vertex ids per color, padded with N (dropped).
-    hits: dynamic-only constraint buffers (p_mask must be all-False here;
-    passive contacts are handled by the per-node projection instead).
-    """
+    """Shared setup for the SOR sweeps: returns (color_update, residual2,
+    b_eff) closures used by both the early-exit solve and the fixed-length
+    traced variant."""
     n = diag.shape[0]
     dtype = b.dtype
-    n_colors = colors.shape[0]
 
     has_dyn = hits.n_active() > 0
     pen_diag = jnp.where(has_dyn, con.CtC_diag(hits, ck, n, dtype), jnp.zeros((n, 3), dtype))
     b_eff = b + con.Ct_c(hits, ck, n)
-    b_norm2 = jnp.sum(b_eff * b_eff)
-    # Clamp to the dtype's achievable relative residual: the reference
-    # default tol=1e-10 is below f32 machine precision, which would
-    # force max_iters every solve (in f64 the clamp is a no-op).
-    tol = jnp.maximum(tol, 64 * jnp.finfo(dtype).eps)
-    tol2 = tol * tol * jnp.maximum(b_norm2, jnp.finfo(dtype).tiny)
 
     def color_update(ci, x):
         rows = colors[ci]  # [L], padded with n
@@ -138,6 +115,45 @@ def solve(
         r = b_eff - ax
         return jnp.sum(r * r)
 
+    return color_update, residual2, b_eff
+
+
+def solve(
+    ell_cols,
+    ell_vals,
+    diag,
+    colors,
+    colors_mask,
+    b,
+    x0,
+    pin_mask,
+    pin_target,
+    obstacles,
+    hits: con.Hits,
+    ck,
+    omega,
+    max_iters,
+    tol,
+):
+    """Run constrained multicolor SOR sweeps. Returns (x, iters).
+
+    colors: i32 [C, L] vertex ids per color, padded with N (dropped).
+    hits: dynamic-only constraint buffers (p_mask must be all-False here;
+    passive contacts are handled by the per-node projection instead).
+    """
+    dtype = b.dtype
+    n_colors = colors.shape[0]
+    color_update, residual2, b_eff = _sweep_setup(
+        ell_cols, ell_vals, diag, colors, colors_mask, b, pin_mask,
+        pin_target, obstacles, hits, ck, omega,
+    )
+    b_norm2 = jnp.sum(b_eff * b_eff)
+    # Clamp to the dtype's achievable relative residual: the reference
+    # default tol=1e-10 is below f32 machine precision, which would
+    # force max_iters every solve (in f64 the clamp is a no-op).
+    tol = jnp.maximum(tol, 64 * jnp.finfo(dtype).eps)
+    tol2 = tol * tol * jnp.maximum(b_norm2, jnp.finfo(dtype).tiny)
+
     def cond(carry):
         _, k, done = carry
         return (~done) & (k < max_iters)
@@ -150,3 +166,36 @@ def solve(
 
     x, iters, _ = jax.lax.while_loop(cond, body, (x0, jnp.asarray(0, jnp.int32), jnp.asarray(False)))
     return x, iters
+
+
+def solve_traced(
+    ell_cols, ell_vals, diag, colors, colors_mask, b, x0, pin_mask,
+    pin_target, obstacles, hits: con.Hits, ck, omega, n_sweeps: int,
+    x_star=None, err_denom=None,
+):
+    """Fixed-length SOR sweeps with a per-sweep residual trace.
+
+    SolverLog-tier instrumentation (the reference records error/runtime
+    per inner iteration inside NodalMultiColorGS::solve,
+    src/NodalMultiColorGS.hpp:61,135,144): runs exactly n_sweeps as a
+    lax.scan and emits res [n_sweeps] = ||b_eff - (A + C^T C) x_k|| plus
+    err vs x_star when given. Returns (x, {"res", "err"}).
+    """
+    n_colors = colors.shape[0]
+    color_update, residual2, _ = _sweep_setup(
+        ell_cols, ell_vals, diag, colors, colors_mask, b, pin_mask,
+        pin_target, obstacles, hits, ck, omega,
+    )
+    if x_star is not None and err_denom is None:
+        err_denom = jnp.maximum(jnp.linalg.norm(x_star - x0),
+                                jnp.finfo(b.dtype).tiny)
+
+    def body(x, _):
+        x = jax.lax.fori_loop(0, n_colors, color_update, x)
+        res = jnp.sqrt(residual2(x))
+        err = (jnp.linalg.norm(x_star - x) / err_denom
+               if x_star is not None else jnp.asarray(0.0, b.dtype))
+        return x, (res, err)
+
+    x, (res, err) = jax.lax.scan(body, x0, None, length=n_sweeps)
+    return x, {"res": res, "err": (err if x_star is not None else None)}

@@ -187,3 +187,60 @@ def solve(A_mv, precond, b, x0, tol, max_iters):
     init = (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32), dot(r0, r0) < tol2)
     x, _, _, _, iters, _ = jax.lax.while_loop(cond, body, init)
     return x, iters
+
+
+def solve_traced(A_mv, precond, b, x0, n_iters: int, x_star=None,
+                 err_denom=None):
+    """Fixed-length PCG with a per-iteration residual trace (SolverLog tier).
+
+    The reference hooks SolverLog into every LinearSolver::solve to record
+    error-vs-known-solution per inner iteration (src/SolverLog.hpp:36-55,
+    src/UzawaCG.hpp:112). Early exit would make the trace shape dynamic, so
+    this variant runs exactly n_iters as a lax.scan and emits the whole
+    curve as a scan output: res [n_iters] = ||b - A x_k||, and err
+    [n_iters] = ||x* - x_k|| / ||x* - x_0|| when x_star is given.
+
+    Returns (x, {"res": [n_iters], "err": [n_iters] | None}).
+    """
+    if callable(precond):
+        apply_m = precond
+    else:
+        inv_d = (1.0 / precond)[:, None]
+        apply_m = lambda r: inv_d * r
+
+    def dot(a, b_):
+        return jnp.sum(a * b_)
+
+    if x_star is not None and err_denom is None:
+        err_denom = jnp.maximum(jnp.linalg.norm(x_star - x0),
+                                jnp.finfo(b.dtype).tiny)
+
+    r0 = b - A_mv(x0)
+    z0 = apply_m(r0)
+    tiny = jnp.finfo(b.dtype).tiny
+
+    def body(carry, _):
+        x, r, p, rz = carry
+        Ap = A_mv(p)
+        denom = dot(p, Ap)
+        alpha = rz / jnp.where(jnp.abs(denom) < tiny, 1.0, denom)
+        # Freeze once converged-to-noise (denom ~ 0): keeps the tail flat
+        # instead of NaN, so traces are zero-padded-flat like the reference
+        # log simply stopping.
+        alpha = jnp.where(jnp.abs(denom) < tiny, 0.0, alpha)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = apply_m(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < tiny, 1.0, rz)
+        beta = jnp.where(jnp.abs(rz) < tiny, 0.0, beta)
+        p = z + beta * p
+        res = jnp.sqrt(dot(r, r))
+        err = (jnp.linalg.norm(x_star - x) / err_denom
+               if x_star is not None else jnp.asarray(0.0, b.dtype))
+        return (x, r, p, rz_new), (res, err)
+
+    (x, _, _, _), (res, err) = jax.lax.scan(
+        body, (x0, r0, z0, dot(r0, z0)), None, length=n_iters
+    )
+    return x, {"res": res, "err": (err if x_star is not None else None)}

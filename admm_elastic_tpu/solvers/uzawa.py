@@ -28,11 +28,12 @@ from admm_elastic_tpu.collision import constraints as con
 def solve(apply_Ainv, hits: con.Hits, ck, b0, x_guess, y, max_iters, tol):
     """Returns (x, y, iters).
 
-    apply_Ainv: [N,3] -> [N,3] prefactored solve.
+    apply_Ainv: (rhs [N,3], x0 [N,3] | None) -> [N,3] A^-1 apply — exact
+      (prefactored dense) or an inner PCG solve (sparse path); x0 is a
+      warm start that iterative inners may use and exact inners ignore.
     hits: deduped fixed-capacity constraint buffers.
     y: [2H] warm-start multipliers (passive rows then dynamic rows).
     """
-    del x_guess  # direct solve; no warm start needed (parity w/ reference)
     n = b0.shape[0]
     dtype = b0.dtype
     h = hits.capacity
@@ -57,7 +58,10 @@ def solve(apply_Ainv, hits: con.Hits, ck, b0, x_guess, y, max_iters, tol):
     # after one iteration with x = A^-1 b, matching the reference's fast
     # path (src/UzawaCG.hpp:76-81) at the cost of one masked gather.
     def constrained(_):
-        x0 = apply_Ainv(b0 - Ct(y))
+        # The previous ADMM iterate is an excellent warm start for the
+        # first solve (b changes O(dt) per iteration); the Schur-direction
+        # solves below have no useful guess and start from zero.
+        x0 = apply_Ainv(b0 - Ct(y), x_guess)
         r0 = C(x0) - c
         # Mask inactive rows out of the residual (their C row is 0 but c
         # could be stale-free anyway; keep it clean).
@@ -96,3 +100,58 @@ def solve(apply_Ainv, hits: con.Hits, ck, b0, x_guess, y, max_iters, tol):
         return x, yv, jnp.maximum(iters, 1)
 
     return constrained(None)
+
+
+def solve_traced(apply_Ainv, hits: con.Hits, ck, b0, x_guess, y, n_iters: int,
+                 x_star=None, err_denom=None):
+    """Fixed-length Schur CG with a per-iteration residual trace.
+
+    SolverLog-tier instrumentation (the reference hooks SolverLog into
+    UzawaCG::solve per CG iteration, src/UzawaCG.hpp:59,112,122): runs
+    exactly n_iters as a lax.scan, emitting res [n_iters] = ||C x_k - c||
+    (the Schur residual the solve drives to zero) and err vs x_star when
+    given. Returns (x, y, {"res", "err"}).
+    """
+    n = b0.shape[0]
+    dtype = b0.dtype
+    h = hits.capacity
+    tiny = jnp.finfo(dtype).tiny
+
+    def C(x):
+        rp, rd = con.C_apply(hits, ck, x)
+        return jnp.concatenate([rp, rd])
+
+    def Ct(yv):
+        return con.Ct_apply(hits, ck, yv[:h], yv[h:], n)
+
+    cp, cd = con.C_rhs(hits, ck)
+    c = jnp.concatenate([cp, cd])
+    active = jnp.concatenate([hits.p_mask, hits.d_mask])
+
+    if x_star is not None and err_denom is None:
+        err_denom = jnp.maximum(jnp.linalg.norm(x_star - x_guess), tiny)
+
+    x0 = apply_Ainv(b0 - Ct(y), x_guess)
+    r0 = jnp.where(active, C(x0) - c, 0.0)
+
+    def body(carry, _):
+        x, yv, r, d = carry
+        q2 = apply_Ainv(Ct(d))
+        q3 = jnp.where(active, C(q2), 0.0)
+        denom = jnp.dot(d, q3)
+        bad = jnp.abs(denom) < tiny
+        alpha = jnp.where(bad, 0.0, jnp.dot(d, r) / jnp.where(bad, 1.0, denom))
+        x = x - alpha * q2
+        yv = yv + alpha * d
+        r = r - alpha * q3
+        beta = jnp.where(bad, 0.0, jnp.dot(r, q3) / jnp.where(bad, 1.0, denom))
+        d = r - beta * d
+        res = jnp.sqrt(jnp.dot(r, r))
+        err = (jnp.linalg.norm(x_star - x) / err_denom
+               if x_star is not None else jnp.asarray(0.0, dtype))
+        return (x, yv, r, d), (res, err)
+
+    (x, yv, _, _), (res, err) = jax.lax.scan(
+        body, (x0, y, r0, r0), None, length=n_iters
+    )
+    return x, yv, {"res": res, "err": (err if x_star is not None else None)}

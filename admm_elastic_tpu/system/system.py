@@ -176,18 +176,25 @@ class SimState:
 
     The reference's entire state is (m_x, m_v) (src/Solver.hpp:66-67); we
     add the Uzawa multiplier warm-start carried across solves
-    (src/UzawaCG.hpp:68-74) and the previous active-constraint count used
-    to decide when to reset it.
+    (src/UzawaCG.hpp:68-74) and the previous active-constraint row mask
+    used to decide when to reset it. The reference gates the warm start on
+    the constraint *count* only (cheap in its dynamic structures); our
+    fixed-capacity row masks make exact set comparison a trivial vector
+    compare, and count-gating is measurably unsafe: when the active set
+    seesaws between different same-sized subsets (observed on a resting
+    box, 2-of-4 floor verts alternating), stale multipliers are reapplied
+    to different rows every iteration and the contact force systematically
+    under-resolves until the body tunnels.
     """
 
     x: jax.Array  # [N, 3]
     v: jax.Array  # [N, 3]
-    y: jax.Array  # [Hcap] Uzawa multipliers (size 0 if unused)
-    n_active_prev: jax.Array  # i32 scalar
+    y: jax.Array  # [2*Hcap] Uzawa multipliers (size 0 if unused)
+    prev_active: jax.Array  # bool [2*Hcap] previous active constraint rows
 
 
 jax.tree_util.register_dataclass(
-    SimState, data_fields=("x", "v", "y", "n_active_prev"), meta_fields=()
+    SimState, data_fields=("x", "v", "y", "prev_active"), meta_fields=()
 )
 
 
@@ -197,5 +204,5 @@ def init_state(x, n_constraint_rows: int = 0) -> SimState:
         x=x,
         v=jnp.zeros_like(x),
         y=jnp.zeros((n_constraint_rows,), dtype=x.dtype),
-        n_active_prev=jnp.asarray(-1, dtype=jnp.int32),
+        prev_active=jnp.zeros((n_constraint_rows,), dtype=bool),
     )

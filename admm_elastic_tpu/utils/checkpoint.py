@@ -18,7 +18,7 @@ def save_state(path: str, state: SimState, **extra):
         x=np.asarray(state.x),
         v=np.asarray(state.v),
         y=np.asarray(state.y),
-        n_active_prev=np.asarray(state.n_active_prev),
+        prev_active=np.asarray(state.prev_active),
         **extra,
     )
 
@@ -32,5 +32,5 @@ def load_state(path: str, dtype=None) -> SimState:
             x=cast(data["x"]),
             v=cast(data["v"]),
             y=cast(data["y"]),
-            n_active_prev=jnp.asarray(data["n_active_prev"], jnp.int32),
+            prev_active=jnp.asarray(data["prev_active"], bool),
         )

@@ -47,6 +47,24 @@ class SolverLog:
         self.final_r = float(np.linalg.norm(np.asarray(A_mv(x)) - np.asarray(b)))
 
 
+@dataclasses.dataclass
+class InnerLog:
+    """Per-inner-iteration convergence curves for one step (SolverLog tier).
+
+    One row per ADMM iteration (= one global solve), matching the
+    reference's per-solve SolverLog records (src/SolverLog.hpp:36-60,
+    hooked at src/NodalMultiColorGS.hpp:61,135,144 and
+    src/UzawaCG.hpp:59,112,122). Residual definitions per solver:
+    PCG ||b - A x_k||; GS ||b_eff - (A + C^T C) x_k|| per sweep;
+    Uzawa ||C x_k - c|| (the Schur residual).
+    """
+
+    residuals: np.ndarray  # [admm_iters, n_inner]
+    errors: "np.ndarray | None" = None  # same shape, vs x_star (if set)
+    final_r: float = 0.0  # ||A x - b|| after the last solve
+    x_star: "np.ndarray | None" = None  # set by the user before stepping
+
+
 def admm_error_trace(solver, x_star: np.ndarray, n_steps: int = 1) -> np.ndarray:
     """Run n_steps and record per-ADMM-iteration normalized error vs x_star.
 

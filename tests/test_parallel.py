@@ -103,6 +103,7 @@ def test_graft_entry():
     import __graft_entry__ as g
 
     fn, args = g.entry()
-    out_state, inner = jax.jit(fn)(*args)
+    out_state, inner, overflow = jax.jit(fn)(*args)
+    assert not bool(overflow)
     assert np.isfinite(np.asarray(out_state.x)).all()
     g.dryrun_multichip(8)
