@@ -1,0 +1,207 @@
+"""Ours-vs-reference benchmark matrix.
+
+Runs the TPU build on the same scene x size grid measured from the
+reference binary by run_baseline_matrix.sh (benchmarks/BASELINE_MATRIX.json)
+and emits one JSON line per scene with admm_iters_per_s and the ratio
+vs the recorded reference number (VERDICT r1 item 2: every headline number
+gets a measured denominator).
+
+Run on the TPU terminal:  python benchmarks/matrix.py [--out FILE]
+Scenes follow the labels in run_baseline_matrix.sh; geometry matches
+ref_driver.cpp (same make_tet_blocks pattern, soft-rubber Lame, lumped
+masses at rubber density, pinned -x face / floor drops / cloth sheet).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ADMM_ITERS = 10
+
+
+def _beam_solver(nx, ny, nz, model, linsolver, floor_y=None, dtype=None,
+                 pcg=("jacobi", 40, 1e-6)):
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu import Floor, Lame, Settings, Solver, binding
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks
+
+    mesh = make_tet_blocks(nx, ny, nz)
+    flags = {"linear": binding.LINEAR, "nh": binding.NEOHOOKEAN,
+             "stvk": binding.STVK}[model]
+    mesh.flags = binding.NOSELFCOLLISION | flags
+    solver = Solver()
+    binding.add_tetmesh(solver, mesh, Lame.soft_rubber(), verbose=False)
+    if floor_y is None:
+        pins = [int(i) for i in np.where(mesh.vertices[:, 0] < 1e-9)[0]]
+        solver.set_pins(pins)
+    else:
+        solver.add_obstacle(Floor(y=jnp.asarray(floor_y)))
+    precond, iters, tol = pcg
+    st = Settings(verbose=0, admm_iters=ADMM_ITERS, linsolver=linsolver,
+                  dtype=dtype or np.float32, pcg_precond=precond,
+                  pcg_max_iters=iters, pcg_tol=tol,
+                  uzawa_max_iters=10, uzawa_inner_tol=1e-5,
+                  uzawa_inner_iters=60)
+    assert solver.initialize(st)
+    return solver
+
+
+def _cloth_solver(nx, ny, limits=None, wind=None, gravity=-9.8):
+    """xz-plane sheet pinned at the -x edge — same geometry as
+    ref_driver.cpp model 3 (and tests/test_parity.py wind scene)."""
+    from admm_elastic_tpu import Lame, Settings, Solver
+    from admm_elastic_tpu.forces import make_wind_force
+
+    verts = np.array(
+        [[i, 0.0, j * nx / ny] for i in range(nx + 1) for j in range(ny + 1)],
+        dtype=np.float64,
+    )
+    vid = lambda i, j: i * (ny + 1) + j
+    tris = []
+    for i in range(nx):
+        for j in range(ny):
+            tris.append([vid(i, j), vid(i + 1, j), vid(i, j + 1)])
+            tris.append([vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)])
+    tris = np.asarray(tris)
+    n_verts = len(verts)
+    masses = np.zeros(n_verts)
+    for t in tris:
+        p = verts[t]
+        area = 0.5 * np.linalg.norm(np.cross(p[1] - p[0], p[2] - p[0]))
+        masses[t] += 1522.0 * area / 3.0
+
+    solver = Solver()
+    solver.add_nodes(verts, masses)
+    lame = Lame.from_youngs_poisson(10000000, 0.399)
+    if limits is not None:
+        lame.limit_min, lame.limit_max = limits
+    solver.add_tri_energies(verts, tris, lame)
+    pins = [int(i) for i in np.where(verts[:, 0] < 1e-9)[0]]
+    solver.set_pins(pins)
+    if wind is not None:
+        solver.add_explicit_force(make_wind_force(tris, direction=wind))
+    st = Settings(verbose=0, admm_iters=ADMM_ITERS, linsolver=3,
+                  dtype=np.float32, gravity=gravity,
+                  pcg_max_iters=40, pcg_tol=1e-6)
+    assert solver.initialize(st)
+    return solver
+
+
+def _boxes_solver(n, linsolver):
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu import Floor, Lame, Settings, Solver, binding
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks, make_xform
+
+    solver = Solver()
+    for i in range(2):
+        m = make_tet_blocks(n, n, n, cell=1.0 / n)
+        m.apply_xform(make_xform(trans=(0.0, i * 1.25, 0.0)))
+        m.flags = binding.LINEAR
+        binding.add_tetmesh(solver, m, Lame.rubber(), verbose=False)
+    solver.add_obstacle(Floor(y=jnp.asarray(-0.5)))
+    st = Settings(verbose=0, admm_iters=ADMM_ITERS, linsolver=linsolver,
+                  dtype=np.float32, pcg_max_iters=60, pcg_tol=1e-6)
+    assert solver.initialize(st)
+    return solver
+
+
+def _time(solver, steps=10, reps=3):
+    import jax
+
+    solver.run(1)
+    jax.block_until_ready(solver.state.x)
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        solver.run(steps)
+        jax.block_until_ready(solver.state.x)
+        best = min(best, time.perf_counter() - t0)
+    x = np.asarray(solver.state.x)
+    assert np.isfinite(x).all(), "non-finite state after timing rollout"
+    return best / steps
+
+
+SCENES = {
+    # label -> (builder, ref_label)  [ref_label = run_baseline_matrix.sh]
+    "beam-nh-5k": lambda: _beam_solver(40, 5, 5, "nh", 3),
+    "beam-nh-40k": lambda: _beam_solver(80, 10, 10, "nh", 3),
+    "beam-nh-160k": lambda: _beam_solver(80, 20, 20, "nh", 3,
+                                         pcg=("twogrid", 60, 1e-6)),
+    "beam-floor-gs-5k": lambda: _beam_solver(40, 5, 5, "nh", 1, floor_y=-1.0),
+    "beam-floor-uzawa-5k": lambda: _beam_solver(40, 5, 5, "nh", 2, floor_y=-1.0),
+    "beam-floor-uzawa-67k": lambda: _beam_solver(60, 15, 15, "linear", 2,
+                                                 floor_y=-1.0),
+    "beam-floor-alpcg-67k": lambda: _beam_solver(60, 15, 15, "linear", 4,
+                                                 floor_y=-1.0,
+                                                 pcg=("twogrid", 60, 1e-6)),
+    # Gentle wind + zero gravity: the reference WindForce adds the kick
+    # straight to velocity (no mass division) and diverges outside this
+    # regime (see tests/test_parity.py wind scene note).
+    "cloth-wind-40": lambda: _cloth_solver(40, 40, wind=(0.05, 0.1, 0.02),
+                                           gravity=0.0),
+    "cloth-limit-40": lambda: _cloth_solver(40, 40, limits=(0.95, 1.05)),
+    "boxes-gs-n3": lambda: _boxes_solver(3, 1),
+    "boxes-gs-n6": lambda: _boxes_solver(6, 1),
+    "boxes-alpcg-n6": lambda: _boxes_solver(6, 4),
+}
+
+# Ours-label -> reference-label (modes the reference lacks reuse the
+# closest reference scene as the denominator).
+REF_LABEL = {
+    "beam-floor-alpcg-67k": "beam-floor-uzawa-67k",
+    "boxes-alpcg-n6": "boxes-gs-n6",
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated labels to run")
+    args = ap.parse_args()
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ref = {}
+    ref_path = os.path.join(here, "BASELINE_MATRIX.json")
+    if os.path.exists(ref_path):
+        for line in open(ref_path):
+            line = line.strip()
+            if line:
+                d = json.loads(line)
+                ref[d["label"]] = d
+
+    only = set(args.only.split(",")) if args.only else None
+    results = []
+    for label, build in SCENES.items():
+        if only and label not in only:
+            continue
+        solver = build()
+        steps = 3 if "160k" in label or "67k" in label else 10
+        dt = _time(solver, steps=steps)
+        ours = ADMM_ITERS / dt
+        rl = REF_LABEL.get(label, label)
+        ref_iters = ref.get(rl, {}).get("admm_iters_per_s")
+        row = {"label": label, "n_verts": int(solver._n_verts),
+               "ms_per_step": round(dt * 1e3, 2),
+               "admm_iters_per_s": round(ours, 1),
+               "ref_label": rl,
+               "ref_admm_iters_per_s": ref_iters,
+               "vs_ref": round(ours / ref_iters, 2) if ref_iters else None}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,8 @@
 #include <vector>
 
 #include "MCL/MicroTimer.hpp"
+#include "MCL/TetMesh.hpp"
+#include "DynamicObject.hpp"
 #include "PassiveObject.hpp"
 #include "Solver.hpp"
 #include "TetEnergyTerm.hpp"
@@ -95,10 +97,47 @@ int main(int argc, char** argv) {
   bool with_wind = (argc > 14);
   double gravity = (argc > 15) ? atof(argv[15]) : -9.8;
 
+  admm::Solver solver;
   std::vector<double> verts;
   std::vector<int> tets;
   std::vector<int> tris;
-  if (model == 3) {
+  if (model == 4) {
+    // Self-collision boxes scene (tvcg2017 boxes.cpp class): two nx-res
+    // unit boxes stacked 1.25 apart over a floor, NCMCGS, TetMeshCollision
+    // per box with surface inds — the reference's dynamic-collision path.
+    // Mirrors tests/test_contact.py::test_boxes_stack_gs for ours-vs-ref.
+    int n = nx;
+    double cell = 1.0 / n;
+    std::vector<std::shared_ptr<mcl::TetMesh>> boxes;
+    for (int b = 0; b < 2; ++b) {
+      std::vector<double> bv;
+      std::vector<int> bt;
+      make_beam(n, n, n, bv, bt);
+      auto mesh = mcl::TetMesh::create();
+      int v_off = static_cast<int>(verts.size()) / 3;
+      for (size_t v = 0; v < bv.size() / 3; ++v) {
+        double px = bv[v * 3] * cell;
+        double py = bv[v * 3 + 1] * cell + b * 1.25;
+        double pz = bv[v * 3 + 2] * cell;
+        verts.push_back(px);
+        verts.push_back(py);
+        verts.push_back(pz);
+        mesh->vertices.push_back(mcl::Vec3f((float)px, (float)py, (float)pz));
+      }
+      for (size_t t = 0; t < bt.size() / 4; ++t) {
+        mesh->tets.push_back(mcl::Vec4i(bt[t * 4], bt[t * 4 + 1],
+                                        bt[t * 4 + 2], bt[t * 4 + 3]));
+        for (int j = 0; j < 4; ++j) tets.push_back(bt[t * 4 + j] + v_off);
+      }
+      mesh->need_faces();
+      std::vector<int> sinds;
+      mesh->surface_inds(sinds);
+      for (int si : sinds) solver.surface_inds.push_back(si + v_off);
+      solver.add_dynamic_collider(
+          std::make_shared<admm::TetMeshCollision>(mesh, v_off));
+      boxes.push_back(mesh);
+    }
+  } else if (model == 3) {
     // Triangle sheet in the xz plane, matching
     // admm_elastic_tpu.geometry.factory.make_plane(nx, ny, size=nx).
     auto vid = [&](int i, int j) { return i * (ny + 1) + j; };
@@ -124,7 +163,6 @@ int main(int argc, char** argv) {
   int n_tets = static_cast<int>(tets.size()) / 4;
   int n_tris = static_cast<int>(tris.size()) / 3;
 
-  admm::Solver solver;
   admm::Solver::Settings settings;
   settings.verbose = 0;
   settings.admm_iters = iters;
@@ -163,7 +201,12 @@ int main(int argc, char** argv) {
   admm::Lame soft_rubber(10000000, 0.399);
   soft_rubber.limit_min = limit_min;
   soft_rubber.limit_max = limit_max;
-  if (model == 3) {
+  if (model == 4) {
+    // boxes.cpp uses LINEAR tets at Lame::rubber() (boxes.cpp:39,51).
+    admm::Lame rubber(10000000, 0.499);
+    admm::create_tets_from_mesh<double, admm::TetEnergyTerm>(
+        solver.energyterms, verts.data(), tets.data(), n_tets, rubber, 0);
+  } else if (model == 3) {
     admm::create_tris_from_mesh<double, admm::TriEnergyTerm>(
         solver.energyterms, verts.data(), tris.data(), n_tris, soft_rubber, 0);
   } else if (model == 0) {

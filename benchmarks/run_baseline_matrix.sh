@@ -1,0 +1,40 @@
+#!/bin/bash
+# Measure the reference CPU baseline across the scene x size grid
+# (VERDICT r1 item 2: every headline number needs a measured denominator).
+# Writes JSON lines to benchmarks/BASELINE_MATRIX.json; each line gains a
+# "label" used by benchmarks/matrix.py to pair ours-vs-ref.
+#
+# Reference self-timing basis: src/Solver.cpp:309-319 (we time whole steps
+# around solver.step() in ref_driver.cpp, same quantity).
+set -e
+HERE="$(cd "$(dirname "$0")" && pwd)"
+bash "$HERE/build_reference.sh"
+OUT=${OUT:-/tmp/ref_build}
+RES="$HERE/BASELINE_MATRIX.json"
+: > "$RES"
+
+run() { # label args...
+  local label="$1"; shift
+  echo "== $label: $*" >&2
+  "$OUT/ref_driver" "$@" | sed "s/^{/{\"label\": \"$label\", /" | tee -a "$RES"
+}
+
+# Beam (NeoHookean, pinned -x face, LDLT): 5k / 40k / 160k tets.
+run beam-nh-5k    40 5 5   10 20 1
+run beam-nh-40k   80 10 10 10 8  1
+run beam-nh-160k  80 20 20 10 3  1
+# Floor-contact beam (no pins, gravity drop onto y=-1): GS and Uzawa.
+run beam-floor-gs-5k     40 5 5 10 20 1 "" 1 -1.0
+run beam-floor-uzawa-5k  40 5 5 10 20 1 "" 2 -1.0
+# Large hard-contact Uzawa (the bigcontact scene class, 67.5k tets).
+run beam-floor-uzawa-67k 60 15 15 10 3 0 "" 2 -1.0
+# Cloth + wind (40x40 sheet, pinned -x edge, strain limits off). Gentle
+# wind + zero gravity: the reference WindForce kick has no mass division
+# and diverges for stronger wind (see tests/test_parity.py wind note).
+run cloth-wind-40 40 40 0 10 20 3 "" 0 9999.0 -100 100 0.05 0.1 0.02 0
+# Cloth with hard strain limits [0.95, 1.05].
+run cloth-limit-40 40 40 0 10 20 3 "" 0 9999.0 0.95 1.05
+# Boxes self-collision (two stacked boxes + floor, NCMCGS): 270 / 2160 tets.
+run boxes-gs-n3 3 0 0 10 25 4 "" 1 -0.5
+run boxes-gs-n6 6 0 0 10 25 4 "" 1 -0.5
+echo "wrote $RES" >&2
