@@ -122,12 +122,19 @@ class Settings:
         i = 0
         args = list(argv)
         n = len(args)
+        known = ("-dt", "-v", "-it", "-g", "-ls", "-ck")
         while i < n:
             a = args[i]
             if a in ("-help", "--help", "-h"):
                 self.help()
                 return True
-            if i + 1 < n:
+            if a in known:
+                if i + 1 >= n:
+                    # A trailing flag with no value is an input error, not
+                    # something to swallow silently (round-1 ADVICE).
+                    raise ValueError(
+                        f"**Settings::parse_args Error: flag {a} needs a value."
+                    )
                 val = args[i + 1]
                 if a == "-dt":
                     self.timestep_s = float(val)
@@ -141,6 +148,7 @@ class Settings:
                     self.linsolver = int(val)
                 elif a == "-ck":
                     self.constraint_w = float(val)
+                i += 1
             i += 1
         return False
 

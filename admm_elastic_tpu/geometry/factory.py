@@ -207,6 +207,55 @@ def make_tet_torus(major_radius: float = 1.0, minor_radius: float = 0.35,
     return TetMesh(vertices=verts, tets=tets)
 
 
+def make_tet_bunny_like(cell: float = 0.115) -> TetMesh:
+    """A bunny-class irregular organic tet mesh, fully procedural.
+
+    Self-contained stand-in for the reference's bunny_1124.node/.ele
+    sample data (samples/data/, loaded by sca2016/bunnyexpand.cpp): an
+    implicit blob — ellipsoid body, offset head, two asymmetric ears and
+    a tail — voxelized on a cube grid fitted to the blob bounds and split
+    5-tets-per-cube (parity-alternating, so the retained subset stays
+    conforming). cell=0.115 yields ~3k tets / ~1k verts, the bunny_1124
+    class; the shape is deliberately non-convex and asymmetric so
+    inversion-recovery and self-collision demos exercise bunny-like
+    geometry, not a sphere.
+    """
+    lo = np.array([-0.72, -0.95, -0.90])
+    hi = np.array([0.72, 1.20, 0.72])
+    counts = np.ceil((hi - lo) / cell).astype(int)
+    grid = make_tet_blocks(int(counts[0]), int(counts[1]), int(counts[2]),
+                           cell=cell)
+    p = grid.vertices + lo
+
+    def inside(q):
+        def ell(center, radii):
+            d = (q - np.asarray(center)) / np.asarray(radii)
+            return np.sum(d * d, axis=-1) <= 1.0
+
+        body = ell((0.0, -0.30, 0.0), (0.62, 0.50, 0.55))
+        head = ell((0.05, 0.35, 0.25), (0.36, 0.33, 0.34))
+        ear_l = ell((-0.17, 0.80, 0.18), (0.12, 0.34, 0.14))
+        ear_r = ell((0.22, 0.78, 0.12), (0.13, 0.30, 0.14))
+        tail = ell((0.0, -0.38, -0.62), (0.18, 0.18, 0.18))
+        return body | head | ear_l | ear_r | tail
+
+    # Keep whole cubes (all 5 tets) whose center is inside: removal of
+    # complete cubes from the conforming grid leaves a conforming mesh.
+    cents = p[grid.tets].mean(axis=1)  # [T,3] tet centroids
+    cube_cent = cents.reshape(-1, 5, 3).mean(axis=1)  # [C,3]
+    keep_cubes = inside(cube_cent)
+    keep = np.repeat(keep_cubes, 5)
+    tets = grid.tets[keep]
+    # Compact unused vertices.
+    used = np.unique(tets)
+    remap = -np.ones(len(p), dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    verts = p[used]
+    tets = remap[tets]
+    tets = _reorient(verts, tets)
+    return TetMesh(vertices=verts, tets=tets)
+
+
 def make_xform(trans=(0, 0, 0), rot_deg: float = 0.0, rot_axis=(1, 0, 0), scale=(1, 1, 1)) -> np.ndarray:
     """4x4 homogeneous transform T @ R @ S (mcl::XForm equivalent)."""
     axis = np.asarray(rot_axis, dtype=np.float64)

@@ -148,10 +148,24 @@ def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True):
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
     # The vertex dimension can only be sharded when divisible by the shard
-    # axis; otherwise fall back to scene-only sharding for x/v.
+    # axis; otherwise fall back to scene-only sharding for x/v — loudly,
+    # because a user who asked for a shard axis should know it is inactive
+    # (pad the mesh or pick N % n_shard == 0 to engage it).
     n_verts = solver._n_verts
     n_shard = mesh.shape.get("shard", 1)
-    xv_spec = P("scene", "shard", None) if n_verts % max(n_shard, 1) == 0 else P("scene", None, None)
+    if n_verts % max(n_shard, 1) == 0:
+        xv_spec = P("scene", "shard", None)
+    else:
+        if n_shard > 1:
+            import warnings
+
+            warnings.warn(
+                f"mesh shard axis has {n_shard} devices but n_verts="
+                f"{n_verts} is not divisible; falling back to scene-only "
+                f"sharding (vertex dim replicated).",
+                stacklevel=2,
+            )
+        xv_spec = P("scene", None, None)
     state_sharding = ScenarioBatch(
         x=NamedSharding(mesh, xv_spec),
         v=NamedSharding(mesh, xv_spec),

@@ -56,9 +56,9 @@ jax.tree_util.register_dataclass(
 def Dx(system: System, x):
     """D x as a list of per-family local iterates.
 
-    Layouts: tet families use SoA rows [9, T] (lane-packed, consumed
-    directly by the SoA/Pallas local step with no transposes); tri
-    families [T, 3, 2]; pins [P, 3].
+    Layouts: tet families use SoA rows [9, T] and tri families SoA rows
+    [6, T] (lane-packed end-to-end, consumed directly by the SoA/Pallas
+    local step with no transposes); pins [P, 3].
     """
     out = []
     for b in system.tets:

@@ -4,7 +4,6 @@ then recovering (samples/sca2016/bunnyexpand.cpp), NeoHookean, no gravity.
 Usage: python apps/bunnyexpand.py [point|rand] [-it N ...]
 """
 
-import os
 import sys
 
 import numpy as np
@@ -13,18 +12,8 @@ from _app import parse_cli, run
 
 from admm_elastic_tpu import Lame, Settings, Solver
 from admm_elastic_tpu import binding
+from admm_elastic_tpu.geometry.demo_data import load_demo_mesh
 from admm_elastic_tpu.geometry.factory import make_xform
-from admm_elastic_tpu.geometry.io import load_elenode
-
-DATA = os.environ.get("ADMM_DATA_DIR", "/root/reference/samples/data")
-
-
-def _load_or(name, fallback):
-    """Load reference sample data if present, else a procedural stand-in
-    (keeps the demos runnable without the reference checkout)."""
-    if os.path.exists(os.path.join(DATA, name + ".node")):
-        return load_elenode(os.path.join(DATA, name))
-    return fallback()
 
 
 def main(argv):
@@ -36,8 +25,10 @@ def main(argv):
     settings = Settings(linsolver=0, gravity=0.0)
     args = parse_cli(settings, argv)
 
-    from admm_elastic_tpu.geometry.factory import make_tet_sphere
-    mesh = _load_or("bunny_1124", lambda: make_tet_sphere(0.08, 8))
+    # Self-contained: a bunny_1124-class mesh generated + cached under
+    # <repo>/data at first run; set ADMM_DATA_DIR to the reference's
+    # samples/data to run the original bunny byte-identically.
+    mesh = load_demo_mesh("bunny_1124")
     mesh.flags = binding.NOSELFCOLLISION | binding.NEOHOOKEAN
     mesh.apply_xform(make_xform(rot_deg=20.0, rot_axis=(1, 0, 0)) @ make_xform(scale=(10,) * 3))
 

@@ -1,7 +1,6 @@
 """Soft sphere settling on a floor, constrained Gauss-Seidel
 (samples/tvcg2017/signorini.cpp)."""
 
-import os
 import sys
 
 import jax.numpy as jnp
@@ -10,25 +9,16 @@ from _app import parse_cli, run
 
 from admm_elastic_tpu import Floor, Lame, Settings, Solver
 from admm_elastic_tpu import binding
-from admm_elastic_tpu.geometry.io import load_elenode
-
-DATA = os.environ.get("ADMM_DATA_DIR", "/root/reference/samples/data")
-
-
-def _load_or(name, fallback):
-    """Load reference sample data if present, else a procedural stand-in
-    (keeps the demos runnable without the reference checkout)."""
-    if os.path.exists(os.path.join(DATA, name + ".node")):
-        return load_elenode(os.path.join(DATA, name))
-    return fallback()
+from admm_elastic_tpu.geometry.demo_data import load_demo_mesh
 
 
 def main(argv):
     settings = Settings(linsolver=1)
     args = parse_cli(settings, argv)
 
-    from admm_elastic_tpu.geometry.factory import make_tet_sphere
-    mesh = _load_or("sphere", lambda: make_tet_sphere(0.5, 6))
+    # Self-contained sample data: generated + cached under <repo>/data;
+    # point ADMM_DATA_DIR at the reference's samples/data for the original.
+    mesh = load_demo_mesh("sphere")
     mesh.flags = binding.NOSELFCOLLISION | binding.LINEAR
 
     solver = Solver()

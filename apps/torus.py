@@ -1,6 +1,5 @@
 """Torus dropped on a floor, UzawaCG contact (samples/tvcg2017/torus.cpp)."""
 
-import os
 import sys
 
 import jax.numpy as jnp
@@ -10,25 +9,16 @@ from _app import parse_cli, run
 from admm_elastic_tpu import Floor, Lame, Settings, Solver
 from admm_elastic_tpu import binding
 from admm_elastic_tpu.geometry.factory import make_xform
-from admm_elastic_tpu.geometry.io import load_elenode
-
-DATA = os.environ.get("ADMM_DATA_DIR", "/root/reference/samples/data")
-
-
-def _load_or(name, fallback):
-    """Load reference sample data if present, else a procedural stand-in
-    (keeps the demos runnable without the reference checkout)."""
-    if os.path.exists(os.path.join(DATA, name + ".node")):
-        return load_elenode(os.path.join(DATA, name))
-    return fallback()
+from admm_elastic_tpu.geometry.demo_data import load_demo_mesh
 
 
 def main(argv):
     settings = Settings(linsolver=2, admm_iters=10)
     args = parse_cli(settings, argv)
 
-    from admm_elastic_tpu.geometry.factory import make_tet_torus
-    mesh = _load_or("torus", lambda: make_tet_torus(1.0, 0.35, 24, 4))
+    # Self-contained sample data: generated + cached under <repo>/data;
+    # point ADMM_DATA_DIR at the reference's samples/data for the original.
+    mesh = load_demo_mesh("torus")
     mesh.flags = binding.LINEAR  # self-collision enabled (no NOSELFCOLLISION)
     mesh.apply_xform(
         make_xform(trans=(0, 2, 0)) @ make_xform(rot_deg=-3.0, rot_axis=(1, 0, 0))
