@@ -79,19 +79,25 @@ def test_linear_trajectory_parity(tmp_path):
 
 
 def test_neohookean_trajectory_parity(tmp_path):
+    # Round-2 parity-gap study: tightening BOTH inner solvers (ours to 60
+    # Newton iters; the shim L-BFGS to ||g||<1e-11 via MCL_SHIM_TIGHT)
+    # changes NEITHER trajectory — both prox solves are fully converged at
+    # defaults, and the measured gap is 3.4e-7 relative (distinct but
+    # converged optimizers' roundoff paths + signed-SVD tie-breaking).
     ref = _run_reference(1, str(tmp_path / "nh.bin"))
     ours = _run_ours("neohookean")
     scale = np.abs(ref).max()
     err = np.abs(ref - ours).max() / scale
-    assert err < 2e-3, f"neohookean parity: rel max |dx| = {err}"
+    assert err < 1e-5, f"neohookean parity: rel max |dx| = {err}"
 
 
 def test_stvk_trajectory_parity(tmp_path):
+    # Measured 3.6e-7 relative; see the NH test's parity-gap study note.
     ref = _run_reference(2, str(tmp_path / "stvk.bin"))
     ours = _run_ours("stvk")
     scale = np.abs(ref).max()
     err = np.abs(ref - ours).max() / scale
-    assert err < 2e-3, f"stvk parity: rel max |dx| = {err}"
+    assert err < 1e-5, f"stvk parity: rel max |dx| = {err}"
 
 
 def test_uzawa_floor_contact_parity(tmp_path):
