@@ -97,19 +97,32 @@ def make_scenario_batch(solver, n_scenes: int, stiffness_scale=None, gravity=Non
     )
 
 
-def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True):
+def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True,
+                      linsolver: Optional[int] = None):
     """Build a jitted sharded step over a ScenarioBatch.
 
-    Uses the matrix-free PCG global solver (shardable; no per-scene dense
-    factor). The returned function maps ScenarioBatch -> ScenarioBatch.
+    Runs the solver's configured global mode (or an explicit `linsolver`
+    override) on the shardable ELL operator — PCG (ls=3), AL-PCG hard
+    contact (ls=4), or Uzawa with the sparse PCG inner (ls=2); none needs
+    a per-scene dense factor. The dense/GS modes (ls=0/1) have no
+    per-scene-scalable operator and raise. Returns ScenarioBatch ->
+    ScenarioBatch.
     """
     from admm_elastic_tpu.solver import _step_core
     from admm_elastic_tpu.solvers import pcg as pcg_mod
 
+    ls = solver.m_settings.linsolver if linsolver is None else linsolver
+    if ls not in (cfg.PCG, cfg.ALPCG, cfg.UZAWACG):
+        raise ValueError(
+            f"make_batched_step supports linsolver 3 (PCG), 4 (AL-PCG) and "
+            f"2 (Uzawa, sparse inner); got {ls}. Re-initialize with one of "
+            f"those or pass linsolver= explicitly."
+        )
     system = solver.system
     # Base ELL form of A (unscaled); a per-scene stiffness sweep rescales
     # its stiffness entries (w^2 scales linearly, src/TetEnergyTerm.cpp:47).
-    base_pcg = pcg_mod.prepare(system, solver._dtype)
+    precond = solver.m_settings.pcg_precond
+    base_pcg = pcg_mod.prepare(system, solver._dtype, precond=precond)
     base_params = solver._params()
     obstacles = tuple(solver.obstacles)
     colliders = tuple(solver.colliders)
@@ -128,11 +141,15 @@ def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True):
         )
         params = dict(base_params)
         params["gravity"] = grav
+        if ls == cfg.ALPCG:
+            # Penalty rows track the stiffest ADMM weight (ck = 3 max_w,
+            # w ~ sqrt(stiffness)), so the sweep scales ck too.
+            params["ck"] = base_params["ck"] * jnp.sqrt(scale)
         state = sysm.SimState(x=x, v=v, y=y, prev_active=na)
         new_state, _, ovf = _step_core(
             sys_s, pcg_s, obstacles, colliders, winds, surf, pin_mask, pin_target,
             state, params,
-            linsolver=cfg.PCG, prox_iters=prox_iters, with_passive=True,
+            linsolver=ls, prox_iters=prox_iters, with_passive=True,
         )
         return new_state.x, new_state.v, new_state.y, new_state.prev_active, ovf
 

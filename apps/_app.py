@@ -3,8 +3,10 @@
 Replaces the reference's GLFW/OpenGL Application (samples/utils/
 Application.hpp) with a headless loop: frame callback -> sim callback ->
 step -> optional trajectory/surface export. The reference's screenshot
-pipeline (Application.hpp:254-272 + make_video.sh) maps to .obj/npz dumps
-that any offline renderer can consume.
+pipeline (Application.hpp:254-272 + make_video.sh) maps to:
+--screenshots DIR (rasterized %05d.png frames, utils/render.py) +
+--video PATH (ffmpeg when present, else animated GIF), alongside the
+.obj/npz dumps any offline renderer can consume.
 """
 
 from __future__ import annotations
@@ -34,6 +36,13 @@ def parse_cli(settings: Settings, extra=None):
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--out", type=str, default=None, help="npz trajectory output")
     ap.add_argument("--export-objs", type=str, default=None, help="dir for per-frame .obj")
+    ap.add_argument("--screenshots", type=str,
+                    default=os.environ.get("ADMM_OUTPUT_DIR"),
+                    help="dir for rasterized %%05d.png frames "
+                         "(reference Application.hpp:254-272 equivalent)")
+    ap.add_argument("--video", type=str, default=None,
+                    help="assemble screenshots into a video/gif "
+                         "(make_video.sh equivalent; implies --screenshots)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(extra)
     if args.show_help:
@@ -56,7 +65,7 @@ def parse_cli(settings: Settings, extra=None):
     return args
 
 
-def run(solver, args, sim_cb=None, surfaces=None):
+def run(solver, args, sim_cb=None, surfaces=None, floor_y=None):
     """Game loop (Application.hpp:227-245, headless)."""
     traj = []
     t0 = time.perf_counter()
@@ -75,6 +84,16 @@ def run(solver, args, sim_cb=None, surfaces=None):
     if args.out:
         np.savez(args.out, x=np.stack(traj), dt=solver.m_settings.timestep_s)
         print(f"trajectory -> {args.out}")
+    shots = args.screenshots or (
+        os.path.join(os.path.dirname(args.video) or ".", "frames")
+        if args.video else None)
+    if shots and surfaces:
+        from admm_elastic_tpu.utils.render import render_trajectory
+
+        paths = render_trajectory(np.stack(traj), surfaces, shots,
+                                  video=args.video, floor_y=floor_y)
+        print(f"screenshots -> {shots}" +
+              (f", video -> {paths[-1]}" if args.video else ""))
     return np.stack(traj)
 
 

@@ -31,7 +31,7 @@ def main(argv):
     if not solver.initialize(settings):
         return 1
 
-    traj = run(solver, args, surfaces=[(0, len(mesh.vertices), mesh.faces)])
+    traj = run(solver, args, surfaces=[(0, len(mesh.vertices), mesh.faces)], floor_y=-1.0)
     print(f"min y over run: {traj[:, :, 1].min():.4f} (floor at -1)")
     return 0
 
