@@ -26,8 +26,9 @@ run beam-nh-160k  80 20 20 10 3  1
 # Floor-contact beam (no pins, gravity drop onto y=-1): GS and Uzawa.
 run beam-floor-gs-5k     40 5 5 10 20 1 "" 1 -1.0
 run beam-floor-uzawa-5k  40 5 5 10 20 1 "" 2 -1.0
-# Large hard-contact Uzawa (the bigcontact scene class, 67.5k tets).
+# Large hard-contact Uzawa (the bigcontact scene class, 67.5k / 160k tets).
 run beam-floor-uzawa-67k 60 15 15 10 3 0 "" 2 -1.0
+run beam-floor-uzawa-160k 80 20 20 10 2 0 "" 2 -1.0
 # Cloth + wind (40x40 sheet, pinned -x edge, strain limits off). Gentle
 # wind + zero gravity: the reference WindForce kick has no mass division
 # and diverges for stronger wind (see tests/test_parity.py wind note).
