@@ -28,6 +28,8 @@ SCENES = [
     ("beam_nh_pcg", dict(kind="beam", model="neohookean", ls=3)),
     ("contact_gs", dict(kind="contact", model="linear", ls=1)),
     ("contact_uzawa", dict(kind="contact", model="linear", ls=2)),
+    ("contact_alpcg", dict(kind="contact", model="linear", ls=4)),
+    ("selfcollision_alpcg", dict(kind="boxes", model="linear", ls=4)),
     ("cloth", dict(kind="cloth", model="linear", ls=0)),
     ("cloth_wind", dict(kind="cloth", model="linear", ls=0, wind=True)),
     ("selfcollision_gs", dict(kind="boxes", model="linear", ls=1)),
