@@ -57,6 +57,12 @@ class Settings:
     # operator since each Schur iteration pays a full inner solve.
     uzawa_inner: str = "auto"
     uzawa_dense_max_verts: int = 8192
+    # Above this vertex count linsolver=0 auto-switches to the ELL-PCG
+    # path at direct-solve accuracy (tol 1e-10 clamp) instead of building
+    # the dense N x N factor (12k verts = 1.2 GB host f64 + 0.6 GB device;
+    # the reference's SimplicialLDLT is O(nnz) and has no such cliff,
+    # src/LinearSolver.hpp:79-84). Raise to force dense.
+    direct_max_verts: int = 12000
     uzawa_inner_tol: float = 1e-8
     uzawa_inner_iters: int = 200
     pcg_max_iters: int = 200

@@ -668,6 +668,19 @@ class Solver:
             return idx, cols[idx], vals[idx], diag[idx]
 
         ls = s.linsolver
+        if ls == cfg.LDLT and n > s.direct_max_verts:
+            # The reference's sparse LDLT works at any size; our dense
+            # equivalent would need O(N^2) memory here. Serve ls=0 through
+            # the ELL-PCG path at direct accuracy instead (tol clamps to
+            # the dtype's floor, matching what the dense f32 solve
+            # achieves anyway).
+            print(f"**Solver::initialize: {n} verts exceeds "
+                  f"direct_max_verts={s.direct_max_verts}; serving "
+                  f"linsolver=0 via ELL-PCG (two-grid, tol 1e-10).")
+            s.linsolver = cfg.PCG
+            s.pcg_precond = "twogrid"
+            s.pcg_tol = min(s.pcg_tol, 1e-10)
+            ls = cfg.PCG
         if ls == cfg.LDLT:
             if has_cobjs:
                 raise RuntimeError(

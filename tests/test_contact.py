@@ -97,6 +97,38 @@ def test_uzawa_sparse_inner_matches_dense():
         _check_settled(s)
 
 
+def test_ldlt_auto_switches_to_pcg_for_big_meshes(capsys):
+    """linsolver=0 past direct_max_verts must not attempt the O(N^2)
+    dense factor: it serves the solve through ELL-PCG at direct accuracy
+    (the reference's sparse LDLT has no size cliff to mirror)."""
+    from admm_elastic_tpu import binding
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks
+    from admm_elastic_tpu.solvers.pcg import PCGData
+
+    mesh = make_tet_blocks(4, 2, 2)
+    mesh.flags = binding.NOSELFCOLLISION | binding.LINEAR
+    dense = Solver()
+    binding.add_tetmesh(dense, mesh, Lame.soft_rubber(), verbose=False)
+    dense.set_pins([0, 1])
+    assert dense.initialize(Settings(verbose=0, admm_iters=8, linsolver=0))
+    for _ in range(5):
+        dense.step()
+
+    auto = Solver()
+    mesh2 = make_tet_blocks(4, 2, 2)
+    mesh2.flags = binding.NOSELFCOLLISION | binding.LINEAR
+    binding.add_tetmesh(auto, mesh2, Lame.soft_rubber(), verbose=False)
+    auto.set_pins([0, 1])
+    st = Settings(verbose=0, admm_iters=8, linsolver=0)
+    st.direct_max_verts = 10  # scene has 45 verts -> triggers the switch
+    assert auto.initialize(st)
+    assert "ELL-PCG" in capsys.readouterr().out
+    assert isinstance(auto._solve_data, PCGData)
+    for _ in range(5):
+        auto.step()
+    np.testing.assert_allclose(auto.x, dense.x, atol=1e-7, rtol=0)
+
+
 def test_uzawa_auto_picks_sparse_for_big_meshes():
     """The auto threshold must route big meshes to the O(nnz) inner."""
     from admm_elastic_tpu.solvers.pcg import PCGData

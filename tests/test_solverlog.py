@@ -64,6 +64,21 @@ def test_uzawa_residual_trace_monotone():
     assert r.max() > 0
 
 
+def test_alpcg_residual_trace_decreases():
+    a = drop_box_solver(linsolver=4)
+    a.m_settings.log_inner = True
+    a.m_settings.log_inner_iters = 25
+    for _ in range(12):
+        a.step()
+    log = a.step_logged()
+    r = log.residuals
+    assert r.shape == (a.m_settings.admm_iters, 25)
+    assert np.isfinite(r).all()
+    # One PCG solve on A + C^T C per iteration: falls to the noise floor.
+    nz = r[:, 0] > 1e-12
+    assert np.all(r[nz, -1] <= 1e-4 * r[nz, 0] + 1e-10)
+
+
 def test_error_vs_known_solution_curve():
     """The reference workflow: run once to convergence for x_star, re-run
     with SolverLog attached (src/SolverLog.hpp:36-55)."""
