@@ -234,6 +234,9 @@ def _step_core(
                 params["omega"],
                 params["gs_max_iters"],
                 params["gs_tol"],
+                # Static: no registered colliders -> d_mask identically
+                # False -> the penalty pipeline is dead code.
+                may_have_dyn=bool(colliders),
             )
             return x_new, y, n_prev, it
         if linsolver == cfg.UZAWACG:
@@ -869,7 +872,8 @@ class Solver:
                     self._solve_data.diag, self._solve_data.colors,
                     self._solve_data.colors_mask, b, curr_x, self._pin_mask,
                     self._pin_target, obstacles, hd, params["ck"],
-                    params["omega"], params["gs_max_iters"], params["gs_tol"])
+                    params["omega"], params["gs_max_iters"], params["gs_tol"],
+                    may_have_dyn=bool(colliders))
                 return x, y, n_prev, it
             if s.linsolver == cfg.UZAWACG:
                 hits = hits.dedup()
@@ -996,7 +1000,7 @@ class Solver:
                     self._solve_data.colors_mask, b, curr_x, self._pin_mask,
                     self._pin_target, obstacles, hd, params["ck"],
                     params["omega"], n_inner, x_star=x_star,
-                    err_denom=err_denom)
+                    err_denom=err_denom, may_have_dyn=bool(colliders))
                 return x, y, n_prev, tr["res"], (tr["err"] if x_star is not None else zero)
             if s.linsolver == cfg.UZAWACG:
                 hits = hits.dedup()

@@ -60,27 +60,42 @@ def ell_offdiag_mv(ell_cols, ell_vals, x):
 
 def _sweep_setup(
     ell_cols, ell_vals, diag, colors, colors_mask, b, pin_mask, pin_target,
-    obstacles, hits: con.Hits, ck, omega,
+    obstacles, hits: con.Hits, ck, omega, may_have_dyn: bool = True,
 ):
     """Shared setup for the SOR sweeps: returns (color_update, residual2,
     b_eff) closures used by both the early-exit solve and the fixed-length
-    traced variant."""
+    traced variant.
+
+    may_have_dyn=False (TRACE-time knowledge: no dynamic colliders are
+    registered, so hits.d_mask is identically False) removes the whole
+    self-collision penalty pipeline — ~6 masked gather/scatter passes over
+    the full vertex set per color per sweep that XLA cannot eliminate from
+    the traced masks alone."""
     n = diag.shape[0]
     dtype = b.dtype
 
-    has_dyn = hits.n_active() > 0
-    pen_diag = jnp.where(has_dyn, con.CtC_diag(hits, ck, n, dtype), jnp.zeros((n, 3), dtype))
-    b_eff = b + con.Ct_c(hits, ck, n)
+    if may_have_dyn:
+        has_dyn = hits.n_active() > 0
+        pen_diag = jnp.where(has_dyn, con.CtC_diag(hits, ck, n, dtype),
+                             jnp.zeros((n, 3), dtype))
+        b_eff = b + con.Ct_c(hits, ck, n)
+    else:
+        pen_diag = None
+        b_eff = b
 
     def color_update(ci, x):
         rows = colors[ci]  # [L], padded with n
         m = colors_mask[ci]  # [L]
         safe_rows = jnp.minimum(rows, n - 1)
         lux = ell_offdiag_mv(ell_cols[safe_rows], ell_vals[safe_rows], x)  # [L,3]
-        aii = diag[safe_rows][:, None] + pen_diag[safe_rows]
-        # Penalty off-diagonal contribution (fresh x -> true GS across colors).
-        ctc_x = con.CtC_apply(hits, ck, x)
-        lux = lux + ctc_x[safe_rows] - pen_diag[safe_rows] * x[safe_rows]
+        if may_have_dyn:
+            aii = diag[safe_rows][:, None] + pen_diag[safe_rows]
+            # Penalty off-diagonal contribution (fresh x -> true GS across
+            # colors).
+            ctc_x = con.CtC_apply(hits, ck, x)
+            lux = lux + ctc_x[safe_rows] - pen_diag[safe_rows] * x[safe_rows]
+        else:
+            aii = diag[safe_rows][:, None]
 
         bi = b_eff[safe_rows]
         x_gs = (bi - lux) / aii
@@ -111,7 +126,8 @@ def _sweep_setup(
 
     def residual2(x):
         ax = diag[:, None] * x + ell_offdiag_mv(ell_cols, ell_vals, x)
-        ax = ax + con.CtC_apply(hits, ck, x)
+        if may_have_dyn:
+            ax = ax + con.CtC_apply(hits, ck, x)
         r = b_eff - ax
         return jnp.sum(r * r)
 
@@ -134,18 +150,20 @@ def solve(
     omega,
     max_iters,
     tol,
+    may_have_dyn: bool = True,
 ):
     """Run constrained multicolor SOR sweeps. Returns (x, iters).
 
     colors: i32 [C, L] vertex ids per color, padded with N (dropped).
     hits: dynamic-only constraint buffers (p_mask must be all-False here;
     passive contacts are handled by the per-node projection instead).
+    may_have_dyn=False: statically no dynamic colliders (see _sweep_setup).
     """
     dtype = b.dtype
     n_colors = colors.shape[0]
     color_update, residual2, b_eff = _sweep_setup(
         ell_cols, ell_vals, diag, colors, colors_mask, b, pin_mask,
-        pin_target, obstacles, hits, ck, omega,
+        pin_target, obstacles, hits, ck, omega, may_have_dyn=may_have_dyn,
     )
     b_norm2 = jnp.sum(b_eff * b_eff)
     # Clamp to the dtype's achievable relative residual: the reference
@@ -171,7 +189,7 @@ def solve(
 def solve_traced(
     ell_cols, ell_vals, diag, colors, colors_mask, b, x0, pin_mask,
     pin_target, obstacles, hits: con.Hits, ck, omega, n_sweeps: int,
-    x_star=None, err_denom=None,
+    x_star=None, err_denom=None, may_have_dyn: bool = True,
 ):
     """Fixed-length SOR sweeps with a per-sweep residual trace.
 
@@ -184,7 +202,7 @@ def solve_traced(
     n_colors = colors.shape[0]
     color_update, residual2, _ = _sweep_setup(
         ell_cols, ell_vals, diag, colors, colors_mask, b, pin_mask,
-        pin_target, obstacles, hits, ck, omega,
+        pin_target, obstacles, hits, ck, omega, may_have_dyn=may_have_dyn,
     )
     if x_star is not None and err_denom is None:
         err_denom = jnp.maximum(jnp.linalg.norm(x_star - x0),
