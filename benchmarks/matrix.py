@@ -136,7 +136,9 @@ def _time(solver, steps=10, reps=3):
 
 SCENES = {
     # label -> (builder, ref_label)  [ref_label = run_baseline_matrix.sh]
-    "beam-nh-5k": lambda: _beam_solver(40, 5, 5, "nh", 3),
+    # ls=0: the prefactored equilibrated-inverse mode — the right mode at
+    # this size and the apples-to-apples peer of the reference's LDLT.
+    "beam-nh-5k": lambda: _beam_solver(40, 5, 5, "nh", 0),
     "beam-nh-40k": lambda: _beam_solver(80, 10, 10, "nh", 3),
     "beam-nh-160k": lambda: _beam_solver(80, 20, 20, "nh", 3,
                                          pcg=("twogrid", 60, 1e-6)),
