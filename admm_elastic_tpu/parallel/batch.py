@@ -121,8 +121,18 @@ def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True,
     system = solver.system
     # Base ELL form of A (unscaled); a per-scene stiffness sweep rescales
     # its stiffness entries (w^2 scales linearly, src/TetEnergyTerm.cpp:47).
-    precond = solver.m_settings.pcg_precond
-    base_pcg = pcg_mod.prepare(system, solver._dtype, precond=precond)
+    # Always Jacobi here: the Jacobi diagonal rescales exactly per scene,
+    # while a two-grid coarse inverse is built for ONE operator — under a
+    # sweep it would precondition A(scale) with A(1)'s coarse solve and
+    # convergence would quietly degrade toward the iteration cap.
+    if solver.m_settings.pcg_precond != "jacobi":
+        import warnings
+
+        warnings.warn(
+            "make_batched_step uses the Jacobi preconditioner for swept "
+            "scenes (the two-grid coarse inverse cannot follow a per-scene "
+            "stiffness rescale).", stacklevel=2)
+    base_pcg = pcg_mod.prepare(system, solver._dtype, precond="jacobi")
     base_params = solver._params()
     obstacles = tuple(solver.obstacles)
     colliders = tuple(solver.colliders)
@@ -142,9 +152,10 @@ def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True,
         params = dict(base_params)
         params["gravity"] = grav
         if ls == cfg.ALPCG:
-            # Penalty rows track the stiffest ADMM weight (ck = 3 max_w,
-            # w ~ sqrt(stiffness)), so the sweep scales ck too.
-            params["ck"] = base_params["ck"] * jnp.sqrt(scale)
+            # Penalty rows track the stiffest ADMM weight: the row factor
+            # is sqrt(3 max_w) and max_w scales as sqrt(stiffness scale),
+            # so ck follows scale**0.25 (ck^2 = 3 max_w sqrt(scale)).
+            params["ck"] = base_params["ck"] * scale ** 0.25
         state = sysm.SimState(x=x, v=v, y=y, prev_active=na)
         new_state, _, ovf = _step_core(
             sys_s, pcg_s, obstacles, colliders, winds, surf, pin_mask, pin_target,

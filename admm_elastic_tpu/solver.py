@@ -671,24 +671,33 @@ class Solver:
             return idx, cols[idx], vals[idx], diag[idx]
 
         ls = s.linsolver
+        if ls == cfg.LDLT and has_cobjs:
+            # Checked BEFORE any size-based auto-switch: ls=0 forbids
+            # collision objects at every size (src/Solver.cpp:249-254);
+            # switching to PCG first would silently ignore the obstacles.
+            raise RuntimeError(
+                "**Solver::add_obstacle Error: No collisions with LDLT solver"
+            )
         if ls == cfg.LDLT and n > s.direct_max_verts:
             # The reference's sparse LDLT works at any size; our dense
             # equivalent would need O(N^2) memory here. Serve ls=0 through
             # the ELL-PCG path at direct accuracy instead (tol clamps to
             # the dtype's floor, matching what the dense f32 solve
-            # achieves anyway).
+            # achieves anyway). The caller's Settings object is left
+            # untouched — the override lives on a private copy (reusing
+            # one Settings across solvers is normal).
             print(f"**Solver::initialize: {n} verts exceeds "
                   f"direct_max_verts={s.direct_max_verts}; serving "
                   f"linsolver=0 via ELL-PCG (two-grid, tol 1e-10).")
+            import copy
+
+            s = copy.copy(s)
             s.linsolver = cfg.PCG
             s.pcg_precond = "twogrid"
             s.pcg_tol = min(s.pcg_tol, 1e-10)
+            self.m_settings = s
             ls = cfg.PCG
         if ls == cfg.LDLT:
-            if has_cobjs:
-                raise RuntimeError(
-                    "**Solver::add_obstacle Error: No collisions with LDLT solver"
-                )
             A = assembly.assemble_dense(self.system)
             self._solve_data = direct_mod.prepare(
                 A, dtype, mode=getattr(s, "direct_mode", "cho"), pin_rows=_pin_rows()
@@ -1028,9 +1037,11 @@ class Solver:
 
         res_rows, err_rows = [], []
         b = None
+        overflow = False
         for _ in range(s.admm_iters):
             z, u = local_fn(system, curr_x, z, u)
             hits = detect_fn(obstacles, colliders, curr_x, self._surf_inds_dev)
+            overflow |= bool(hits.overflow)
             b = rhs_jit(M_xbar, z, u)
             curr_x, y, n_prev, res, err = global_jit(b, curr_x, hits, y, n_prev)
             res_rows.append(np.asarray(res))
@@ -1038,6 +1049,11 @@ class Solver:
 
         v_new = (curr_x - x0) * (1.0 / dt)
         self.state = sysm.SimState(x=curr_x, v=v_new, y=y, prev_active=n_prev)
+        self._runtime = RuntimeData(collision_overflow=overflow)
+        if overflow:
+            print("**Solver::step_logged Warning: collision capacity "
+                  "overflow — contacts were dropped this step (raise "
+                  "HIT_CAP/cell_cap).")
         final_r = float(jnp.linalg.norm(sysm.A_mv(system, curr_x) - b)) if b is not None else 0.0
         self.solver_log = log_utils.InnerLog(
             residuals=np.stack(res_rows) if res_rows else np.zeros((0, n_inner)),

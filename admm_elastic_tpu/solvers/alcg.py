@@ -43,6 +43,33 @@ from admm_elastic_tpu.collision import constraints as con
 from admm_elastic_tpu.solvers import pcg as pcg_mod
 
 
+def _penalty_precond(pcg_data, A_hat, pen_diag):
+    """The base A preconditioner with the penalty diagonal folded into
+    the Jacobi / smoothing diagonal (shared by solve and solve_traced so
+    logged steps advance the same state as fused steps)."""
+    inv_d = 1.0 / (pcg_data.diag()[:, None] + pen_diag)
+    if pcg_data.agg is None:
+        return lambda r: inv_d * r
+
+    import jax
+
+    from admm_elastic_tpu.ops.reduction import dt_gather
+
+    omega = 0.7
+
+    def precond(r):
+        z = omega * inv_d * r
+        res = r - A_hat(z)
+        rc = dt_gather(res, pcg_data.agg_gather)
+        ec = jnp.matmul(pcg_data.coarse_inv, rc,
+                        precision=jax.lax.Precision.HIGHEST)
+        z = z + ec[pcg_data.agg]
+        z = z + omega * inv_d * (r - A_hat(z))
+        return z
+
+    return precond
+
+
 def solve(pcg_data: "pcg_mod.PCGData", hits: con.Hits, ck, b, x0, y,
           tol, max_iters):
     """One AL pass. Returns (x, y, pcg_iters).
@@ -74,26 +101,7 @@ def solve(pcg_data: "pcg_mod.PCGData", hits: con.Hits, ck, b, x0, y,
     # smooth elastic modes, which the (local, well-conditioned-after-
     # rescale) penalty barely perturbs.
     pen_diag = con.CtC_diag(hits, ck, n, dtype)  # [N, 3]
-    if pcg_data.agg is None:
-        inv_d = 1.0 / (pcg_data.diag()[:, None] + pen_diag)
-        precond = lambda r: inv_d * r
-    else:
-        from admm_elastic_tpu.ops.reduction import dt_gather
-
-        inv_d = 1.0 / (pcg_data.diag()[:, None] + pen_diag)
-        omega = 0.7
-
-        def precond(r):
-            z = omega * inv_d * r
-            res = r - A_hat(z)
-            rc = dt_gather(res, pcg_data.agg_gather)
-            import jax
-
-            ec = jnp.matmul(pcg_data.coarse_inv, rc,
-                            precision=jax.lax.Precision.HIGHEST)
-            z = z + ec[pcg_data.agg]
-            z = z + omega * inv_d * (r - A_hat(z))
-            return z
+    precond = _penalty_precond(pcg_data, A_hat, pen_diag)
 
     x, iters = pcg_mod.solve(A_hat, precond, b_hat, x0, tol, max_iters)
 
@@ -124,8 +132,9 @@ def solve_traced(pcg_data, hits: con.Hits, ck, b, x0, y, n_iters: int,
         return pcg_data.apply(x) + con.CtC_apply(hits, ck, x)
 
     b_hat = b + Ct(c - y)
-    inv_d = 1.0 / (pcg_data.diag()[:, None] + con.CtC_diag(hits, ck, n, dtype))
-    x, tr = pcg_mod.solve_traced(A_hat, lambda r: inv_d * r, b_hat, x0,
+    precond = _penalty_precond(
+        pcg_data, A_hat, con.CtC_diag(hits, ck, n, dtype))
+    x, tr = pcg_mod.solve_traced(A_hat, precond, b_hat, x0,
                                  n_iters, x_star=x_star, err_denom=err_denom)
     rp, rd = con.C_apply(hits, ck, x)
     r = jnp.concatenate([rp, rd]) - c

@@ -32,5 +32,11 @@ def load_state(path: str, dtype=None) -> SimState:
             x=cast(data["x"]),
             v=cast(data["v"]),
             y=cast(data["y"]),
-            prev_active=jnp.asarray(data["prev_active"], bool),
+            # Round-1 checkpoints stored an i32 count ("n_active_prev");
+            # migrate to the mask form conservatively (all-False resets
+            # the Uzawa warm start on the first post-load solve, which is
+            # always safe).
+            prev_active=(jnp.asarray(data["prev_active"], bool)
+                         if "prev_active" in data
+                         else jnp.zeros(data["y"].shape, dtype=bool)),
         )

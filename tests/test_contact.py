@@ -124,9 +124,33 @@ def test_ldlt_auto_switches_to_pcg_for_big_meshes(capsys):
     assert auto.initialize(st)
     assert "ELL-PCG" in capsys.readouterr().out
     assert isinstance(auto._solve_data, PCGData)
+    # The caller's Settings object is NOT mutated (Settings reuse across
+    # solvers is normal); the override lives on the solver's private copy.
+    assert st.linsolver == 0
+    assert auto.m_settings.linsolver == 3
     for _ in range(5):
         auto.step()
     np.testing.assert_allclose(auto.x, dense.x, atol=1e-7, rtol=0)
+
+
+def test_ldlt_big_mesh_with_obstacles_still_raises():
+    """The size-based auto-switch must not bypass the reference's
+    no-collisions-with-LDLT contract (src/Solver.cpp:249-254): silently
+    serving the scene through PCG would ignore the obstacles entirely."""
+    import pytest
+
+    from admm_elastic_tpu import binding
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks
+
+    mesh = make_tet_blocks(4, 2, 2)
+    mesh.flags = binding.NOSELFCOLLISION | binding.LINEAR
+    s = Solver()
+    binding.add_tetmesh(s, mesh, Lame.soft_rubber(), verbose=False)
+    s.add_obstacle(Floor(y=jnp.asarray(-1.0)))
+    st = Settings(verbose=0, linsolver=0)
+    st.direct_max_verts = 10  # would trigger the auto-switch
+    with pytest.raises(RuntimeError, match="No collisions with LDLT"):
+        s.initialize(st)
 
 
 def test_uzawa_auto_picks_sparse_for_big_meshes():
