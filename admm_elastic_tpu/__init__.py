@@ -9,9 +9,11 @@ Dynamics, Overby et al., IEEE TVCG 2017):
   tets, strain-limited triangles, hard pins) run as batched XLA/Pallas
   kernels over struct-of-array element families,
 - the constant global system ``A = M + dt^2 D^T W^2 D`` is solved with a
-  TPU-friendly method (one-time Cholesky prefactor with batched RHS,
-  multicolor SOR Gauss-Seidel, Uzawa Schur-complement CG, or matrix-free
-  PCG), exploiting the fact that A is component-decoupled (N x N, 3 RHS),
+  TPU-friendly method (one-time equilibrated-inverse prefactor with
+  batched RHS, multicolor SOR Gauss-Seidel, Uzawa Schur-complement CG
+  with dense or sparse ELL-PCG inner, matrix-free PCG with Jacobi or
+  two-grid preconditioning, or augmented-Lagrangian PCG hard contact),
+  exploiting the fact that A is component-decoupled (N x N, 3 RHS),
 - dynamic hard constraints (contact, pins, self-collision) enter through
   masked fixed-capacity hit buffers so the whole timestep stays jit-stable,
 - scaling is scenario-batching + mesh sharding over a ``jax.sharding.Mesh``
@@ -26,7 +28,7 @@ from admm_elastic_tpu.materials import Lame
 from admm_elastic_tpu.solver import Solver
 from admm_elastic_tpu.collision.passive import Floor, Sphere, PassiveMeshSDF
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Settings",
