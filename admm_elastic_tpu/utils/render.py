@@ -52,15 +52,18 @@ def render_frame(x: np.ndarray, surfaces: Sequence[Surface], path: str,
     lo, hi = bounds
     span = float(np.max(np.asarray(hi) - np.asarray(lo)))
 
+    # One combined collection: matplotlib's painter sort works per
+    # collection, so floor + meshes must share one for correct occlusion.
+    all_tris = []
+    all_cols = []
     if floor_y is not None:
         cx = 0.5 * (lo[0] + hi[0])
         cz = 0.5 * (lo[2] + hi[2])
         s = 0.75 * span
-        quad = np.array([[cx - s, floor_y, cz - s], [cx + s, floor_y, cz - s],
-                         [cx + s, floor_y, cz + s], [cx - s, floor_y, cz + s]])
-        ax.add_collection3d(Poly3DCollection(
-            [quad[:, P]], facecolors=[(0.82, 0.82, 0.84)], edgecolors="none",
-            zsort="min"))
+        q = np.array([[cx - s, floor_y, cz - s], [cx + s, floor_y, cz - s],
+                      [cx + s, floor_y, cz + s], [cx - s, floor_y, cz + s]])
+        all_tris += [q[[0, 1, 2]], q[[0, 2, 3]]]
+        all_cols += [(0.82, 0.82, 0.84)] * 2
 
     for si, (off, n, faces) in enumerate(surfaces):
         verts = x[off:off + n]
@@ -70,9 +73,12 @@ def render_frame(x: np.ndarray, surfaces: Sequence[Surface], path: str,
         lam = np.clip(nrm @ _LIGHT, 0.0, 1.0)
         base = np.asarray(_COLORS[si % len(_COLORS)])
         cols = 0.25 * base + 0.75 * base * lam[:, None]
-        pc = Poly3DCollection(tris[:, :, P], facecolors=cols,
-                              edgecolors=(0, 0, 0, 0.12), linewidths=0.2)
-        ax.add_collection3d(pc)
+        all_tris += list(tris)
+        all_cols += [tuple(c) for c in cols]
+
+    pc = Poly3DCollection([t[:, P] for t in all_tris], facecolors=all_cols,
+                          edgecolors=(0, 0, 0, 0.08), linewidths=0.15)
+    ax.add_collection3d(pc)
 
     ax.set_xlim(lo[0], lo[0] + span)
     ax.set_ylim(lo[2], lo[2] + span)  # sim z on the mpl depth axis
