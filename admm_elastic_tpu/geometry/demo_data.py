@@ -34,8 +34,8 @@ def _scaled(mesh, s: float):
 # Scales match the reference data the demos were written against (the
 # real bunny_1124 is ~0.15 m across; demos then apply their own xforms).
 GENERATORS = {
-    "bunny_1124": lambda: _scaled(factory.make_tet_bunny_like(0.115), 0.08),
-    "bunny_2250": lambda: _scaled(factory.make_tet_bunny_like(0.09), 0.08),
+    "bunny_1124": lambda: _scaled(factory.make_tet_bunny_like(600), 0.08),
+    "bunny_2250": lambda: _scaled(factory.make_tet_bunny_like(1200), 0.08),
     "torus": lambda: factory.make_tet_torus(1.0, 0.35, 24, 4),
     "sphere": lambda: factory.make_tet_sphere(0.5, 6),
     "box768": lambda: factory.make_tet_blocks(4, 8, 4, cell=0.25),

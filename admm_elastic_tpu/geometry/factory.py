@@ -207,50 +207,70 @@ def make_tet_torus(major_radius: float = 1.0, minor_radius: float = 0.35,
     return TetMesh(vertices=verts, tets=tets)
 
 
-def make_tet_bunny_like(cell: float = 0.115) -> TetMesh:
+def _bunny_blob_sdf_inside(q: np.ndarray) -> np.ndarray:
+    """Implicit bunny-like blob: body, offset head, two asymmetric ears,
+    tail. Deliberately non-convex and asymmetric so inversion-recovery
+    and self-collision demos exercise bunny-like geometry, not a sphere."""
+
+    def ell(center, radii):
+        d = (q - np.asarray(center)) / np.asarray(radii)
+        return np.sum(d * d, axis=-1) <= 1.0
+
+    body = ell((0.0, -0.30, 0.0), (0.62, 0.50, 0.55))
+    head = ell((0.05, 0.35, 0.25), (0.38, 0.35, 0.36))
+    ear_l = ell((-0.18, 0.74, 0.18), (0.17, 0.34, 0.18))
+    ear_r = ell((0.22, 0.72, 0.12), (0.18, 0.30, 0.19))
+    tail = ell((0.0, -0.38, -0.62), (0.22, 0.22, 0.22))
+    return body | head | ear_l | ear_r | tail
+
+
+def make_tet_bunny_like(n_points: int = 900, seed: int = 7) -> TetMesh:
     """A bunny-class irregular organic tet mesh, fully procedural.
 
     Self-contained stand-in for the reference's bunny_1124.node/.ele
-    sample data (samples/data/, loaded by sca2016/bunnyexpand.cpp): an
-    implicit blob — ellipsoid body, offset head, two asymmetric ears and
-    a tail — voxelized on a cube grid fitted to the blob bounds and split
-    5-tets-per-cube (parity-alternating, so the retained subset stays
-    conforming). cell=0.115 yields ~3k tets / ~1k verts, the bunny_1124
-    class; the shape is deliberately non-convex and asymmetric so
-    inversion-recovery and self-collision demos exercise bunny-like
-    geometry, not a sphere.
+    sample data (samples/data/, loaded by sca2016/bunnyexpand.cpp):
+    Delaunay tetrahedralization of quasi-random points inside an implicit
+    blob, keeping tets whose centroid is inside — the same unstructured
+    coarse-Delaunay mesh class as the real bunny data. This matters for
+    the inversion-recovery demo: a structured 5-split voxel grid of the
+    same blob gets STUCK half-inverted after a random scramble (~1300 of
+    3245 tets, flat from step 50 to 300) while unstructured Delaunay
+    meshes — this one and the real bunny — recover to 0 inverted tets.
+    n_points=900 yields ~3.5k tets / ~900 verts, the bunny_1124 class.
     """
+    from scipy.spatial import Delaunay
+    from scipy.stats import qmc
+
     lo = np.array([-0.72, -0.95, -0.90])
-    hi = np.array([0.72, 1.20, 0.72])
-    counts = np.ceil((hi - lo) / cell).astype(int)
-    grid = make_tet_blocks(int(counts[0]), int(counts[1]), int(counts[2]),
-                           cell=cell)
-    p = grid.vertices + lo
+    hi = np.array([0.45, 1.10, 0.75])
+    # Quasi-random (Halton) interior points: evenly spread without grid
+    # structure, deterministic for reproducible cached data.
+    sampler = qmc.Halton(d=3, seed=seed)
+    pts = []
+    while sum(len(p) for p in pts) < n_points:
+        cand = lo + (hi - lo) * sampler.random(4 * n_points)
+        cand = cand[_bunny_blob_sdf_inside(cand)]
+        pts.append(cand)
+    verts = np.concatenate(pts)[:n_points]
 
-    def inside(q):
-        def ell(center, radii):
-            d = (q - np.asarray(center)) / np.asarray(radii)
-            return np.sum(d * d, axis=-1) <= 1.0
-
-        body = ell((0.0, -0.30, 0.0), (0.62, 0.50, 0.55))
-        head = ell((0.05, 0.35, 0.25), (0.36, 0.33, 0.34))
-        ear_l = ell((-0.17, 0.80, 0.18), (0.12, 0.34, 0.14))
-        ear_r = ell((0.22, 0.78, 0.12), (0.13, 0.30, 0.14))
-        tail = ell((0.0, -0.38, -0.62), (0.18, 0.18, 0.18))
-        return body | head | ear_l | ear_r | tail
-
-    # Keep whole cubes (all 5 tets) whose center is inside: removal of
-    # complete cubes from the conforming grid leaves a conforming mesh.
-    cents = p[grid.tets].mean(axis=1)  # [T,3] tet centroids
-    cube_cent = cents.reshape(-1, 5, 3).mean(axis=1)  # [C,3]
-    keep_cubes = inside(cube_cent)
-    keep = np.repeat(keep_cubes, 5)
-    tets = grid.tets[keep]
+    tri = Delaunay(verts)
+    tets = tri.simplices.astype(np.int64)
+    # Delaunay fills the convex hull; keep tets whose centroid is inside
+    # the blob (carves the neck/ear concavities back out).
+    cents = verts[tets].mean(axis=1)
+    tets = tets[_bunny_blob_sdf_inside(cents)]
+    # Drop slivers (Delaunay of random points makes a few): volume below
+    # 1% of the median destabilizes nothing but wastes conditioning.
+    x4 = verts[tets]
+    e = np.stack([x4[:, 1] - x4[:, 0], x4[:, 2] - x4[:, 0],
+                  x4[:, 3] - x4[:, 0]], axis=-1)
+    vol = np.abs(np.linalg.det(e)) / 6.0
+    tets = tets[vol > 0.01 * np.median(vol)]
     # Compact unused vertices.
     used = np.unique(tets)
-    remap = -np.ones(len(p), dtype=np.int64)
+    remap = -np.ones(len(verts), dtype=np.int64)
     remap[used] = np.arange(len(used))
-    verts = p[used]
+    verts = verts[used]
     tets = remap[tets]
     tets = _reorient(verts, tets)
     return TetMesh(vertices=verts, tets=tets)

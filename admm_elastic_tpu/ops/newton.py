@@ -58,7 +58,10 @@ def newton_prox(value_fn, grad_fn, hess_fn, s_init, n_iters: int = 8, n_backtrac
     Returns: s [B,3] approximate minimizer.
     """
 
-    eye3 = jnp.eye(3)
+    # dtype-matched identity: a bare jnp.eye(3) is f64 under x64 and
+    # silently promotes the whole Newton carry (breaking f32 runs in the
+    # x64-enabled test env).
+    eye3 = jnp.eye(3, dtype=jnp.asarray(s_init).dtype)
 
     def body(s, _):
         g = grad_fn(s)

@@ -763,6 +763,29 @@ class Solver:
 
     # -- stepping --------------------------------------------------------------
 
+    @property
+    def _refine_eff(self) -> int:
+        """Effective iterative-refinement passes for the prefactored solve.
+
+        The stored-inverse mode ("inv") in f32 on an UNPINNED system is
+        unstable without refinement: A's smallest eigenvalues are the bare
+        vertex masses (near-rigid modes), the f32 inverse-matmul error on
+        those modes feeds v = (x_new - x0)/dt, and the feedback grows
+        exponentially across steps (measured on the point-collapsed bunny:
+        explodes to NaN by ~step 120 with 0 passes; recovers fully and
+        stays at vmax ~1e-5 with one pass — as do "cho" and PCG, isolating
+        the stored-inverse error as the driver). Pinned systems are
+        covered by the pin-row polish and keep the round-1 default of 0.
+        """
+        s = self.m_settings
+        if (isinstance(self._solve_data, direct_mod.DirectData)
+                and self._solve_data.mode == "inv"
+                and self._dtype == np.float32
+                and (self.system is None or self.system.pins is None
+                     or self.system.pins.n == 0)):
+            return max(s.refine_passes, 1)
+        return s.refine_passes
+
     def _params(self):
         s = self.m_settings
         dtype = self._dtype
@@ -813,7 +836,7 @@ class Solver:
             linsolver=s.linsolver,
             prox_iters=s.prox_newton_iters,
             with_passive=(s.linsolver != cfg.NCMCGS),
-            refine_passes=s.refine_passes,
+            refine_passes=self._refine_eff,
             unroll_admm_iters=(s.admm_iters if s.unroll_admm else 0),
             aa_window=s.aa_window,
         )
@@ -869,7 +892,7 @@ class Solver:
         detect_fn = jax.jit(partial(_detect, with_passive=with_passive, dtype=dtype))
         # Same A^-1 operator (refine_passes + polish / inner PCG) as the
         # fused path, so profiled runs match step() numerics exactly.
-        apply_Ainv = _make_apply_Ainv(system, self._solve_data, params, s.refine_passes)
+        apply_Ainv = _make_apply_Ainv(system, self._solve_data, params, self._refine_eff)
 
         def global_fn(b, curr_x, hits, y, n_prev):
             if s.linsolver == cfg.LDLT:
@@ -990,7 +1013,7 @@ class Solver:
 
         local_fn = jax.jit(partial(sysm.local_step, n_newton_iters=s.prox_newton_iters))
         detect_fn = jax.jit(partial(_detect, with_passive=with_passive, dtype=dtype))
-        apply_Ainv = _make_apply_Ainv(system, self._solve_data, params, s.refine_passes)
+        apply_Ainv = _make_apply_Ainv(system, self._solve_data, params, self._refine_eff)
 
         def global_traced(b, curr_x, hits, y, n_prev):
             zero = jnp.zeros((n_inner,), dtype)
@@ -1085,7 +1108,7 @@ class Solver:
             linsolver=s.linsolver,
             prox_iters=s.prox_newton_iters,
             with_passive=(s.linsolver != cfg.NCMCGS),
-            refine_passes=s.refine_passes,
+            refine_passes=self._refine_eff,
             unroll_admm_iters=(s.admm_iters if s.unroll_admm else 0),
             aa_window=s.aa_window,
         )

@@ -124,19 +124,40 @@ def frames_to_video(frame_dir: str, out_path: str, fps: int = 24) -> str:
 def render_trajectory(traj: np.ndarray, surfaces: Sequence[Surface],
                       out_dir: str, video: Optional[str] = None,
                       fps: int = 24, floor_y: Optional[float] = None,
-                      stride: int = 1) -> List[str]:
+                      stride: int = 1, follow: bool = False) -> List[str]:
     """Render every stride-th frame of a [T,N,3] trajectory to out_dir
-    (%05d.png, reference naming) and optionally assemble a video."""
+    (%05d.png, reference naming) and optionally assemble a video.
+
+    follow=True keeps a fixed view span (sized from the FINAL frame) but
+    re-centers every frame on its own median — the right framing for
+    scenes whose body translates or whose transients overshoot wildly
+    (e.g. inversion-recovery scrambles); the default fixed-bounds framing
+    suits drops onto a floor."""
     os.makedirs(out_dir, exist_ok=True)
-    lo = traj.reshape(-1, 3).min(axis=0)
-    hi = traj.reshape(-1, 3).max(axis=0)
-    pad = 0.05 * max(float((hi - lo).max()), 1e-6)
-    bounds = (lo - pad, hi + pad)
+    flat = traj.reshape(-1, 3)
+    finite = flat[np.isfinite(flat).all(axis=1)]
+    if len(finite) == 0:
+        raise ValueError("render_trajectory: no finite positions")
+    if follow:
+        last = traj[-1]
+        last = last[np.isfinite(last).all(axis=1)]
+        span = 1.6 * max(float((last.max(0) - last.min(0)).max()), 1e-6)
+    else:
+        # Robust fixed bounds: extreme transients must not blow the frame
+        # up; 1st/99th percentiles frame the bulk of all positions.
+        lo = np.percentile(finite, 1.0, axis=0)
+        hi = np.percentile(finite, 99.0, axis=0)
+        pad = 0.05 * max(float((hi - lo).max()), 1e-6)
+        bounds = (lo - pad, hi + pad)
     paths = []
     for k, x in enumerate(traj[::stride]):
+        x = np.asarray(x)
+        if follow:
+            xf = x[np.isfinite(x).all(axis=1)]
+            c = (np.median(xf, axis=0) if len(xf) else np.zeros(3))
+            bounds = (c - span / 2.0, c + span / 2.0)
         p = os.path.join(out_dir, f"{k:05d}.png")
-        render_frame(np.asarray(x), surfaces, p, bounds=bounds,
-                     floor_y=floor_y)
+        render_frame(x, surfaces, p, bounds=bounds, floor_y=floor_y)
         paths.append(p)
     if video is not None:
         paths.append(frames_to_video(out_dir, video, fps=fps))

@@ -48,14 +48,22 @@ def main(argv):
     solver.x = x
 
     traj = run(solver, args, surfaces=[(0, len(mesh.vertices), mesh.faces)])
-    # Report recovery quality. Full recovery from the random scramble takes
-    # ~200 steps at the default settings (verified: 0/2510 inverted tets by
-    # step 200 and stable thereafter); short --frames runs report the
-    # partially recovered count.
+    # Report recovery quality HONESTLY: a NaN state has no inverted tets
+    # by the naive (vols <= 0) count, so non-finite volumes are counted as
+    # inverted and finiteness is reported. Measured behavior (f64):
+    # "point" (collapse to a single point) recovers fully — 0 inverted by
+    # ~step 50 — the paper's extreme-inversion robustness headline.
+    # "rand" (uniform scramble) reaches a stable FINITE tangled
+    # equilibrium (~50% inverted): a random tangle is globally knotted and
+    # no local elasticity untangles it. The reference binary goes NaN on
+    # the same scramble (REF_SCRAMBLE=1 benchmarks/ref_driver, 640/640
+    # inverted, finite=0) — staying finite is the stronger behavior.
     from admm_elastic_tpu.geometry.mesh import tet_volumes
 
     vols = tet_volumes(traj[-1], mesh.tets)
-    print(f"final inverted tets: {(vols <= 0).sum()} / {len(vols)}")
+    finite = bool(np.isfinite(traj[-1]).all())
+    bad = int(((vols <= 0) | ~np.isfinite(vols)).sum())
+    print(f"final inverted tets: {bad} / {len(vols)} (state finite: {finite})")
     return 0
 
 

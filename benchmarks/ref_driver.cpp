@@ -14,6 +14,8 @@
 // doubles, raw little-endian) for trajectory-parity checks against the TPU
 // build.
 
+#include <algorithm>
+#include <cmath>
 #include <cstdio>
 #include <cstdlib>
 #include <vector>
@@ -245,6 +247,25 @@ int main(int argc, char** argv) {
   }
   double init_ms = t.elapsed_ms();
 
+  // Inversion-recovery probe (bunnyexpand.cpp class, set_vertices rand
+  // mode): REF_SCRAMBLE=1 scrambles every vertex uniformly inside the
+  // rest bounding box after initialize, then the normal stepping below
+  // runs; the JSON gains "inverted_tets" counted at the end.
+  bool scrambled = std::getenv("REF_SCRAMBLE") != nullptr;
+  if (scrambled) {
+    srand(100);
+    double lo[3] = {1e30, 1e30, 1e30}, hi[3] = {-1e30, -1e30, -1e30};
+    for (int v = 0; v < n_verts; ++v)
+      for (int s = 0; s < 3; ++s) {
+        lo[s] = std::min(lo[s], solver.m_x[v * 3 + s]);
+        hi[s] = std::max(hi[s], solver.m_x[v * 3 + s]);
+      }
+    for (int v = 0; v < n_verts; ++v)
+      for (int s = 0; s < 3; ++s)
+        solver.m_x[v * 3 + s] =
+            lo[s] + (hi[s] - lo[s]) * (rand() / (double)RAND_MAX);
+  }
+
   FILE* dump = nullptr;
   if (dumpfile) {
     dump = fopen(dumpfile, "wb");
@@ -265,6 +286,24 @@ int main(int argc, char** argv) {
 
   double checksum = 0.0;
   for (int i = 0; i < solver.m_x.size(); ++i) checksum += solver.m_x[i];
+
+  int inverted = 0;
+  bool finite = true;
+  for (int i = 0; i < solver.m_x.size(); ++i)
+    if (!std::isfinite(solver.m_x[i])) finite = false;
+  for (int tt = 0; tt < n_tets; ++tt) {
+    Vec3 p[4];
+    for (int j = 0; j < 4; ++j)
+      for (int s = 0; s < 3; ++s) p[j][s] = solver.m_x[tets[tt * 4 + j] * 3 + s];
+    Eigen::Matrix3d E;
+    E.col(0) = p[1] - p[0];
+    E.col(1) = p[2] - p[0];
+    E.col(2) = p[3] - p[0];
+    if (!(E.determinant() > 0.0)) ++inverted;  // NaN counts as inverted
+  }
+  if (scrambled)
+    fprintf(stderr, "scramble: inverted %d / %d, finite %d\n", inverted,
+            n_tets, (int)finite);
 
   printf(
       "{\"scene\": \"beam\", \"model\": %d, \"n_verts\": %d, \"n_tets\": %d, "

@@ -43,3 +43,23 @@ def test_tet_torus_valid():
     )
     _, counts = np.unique(edges, axis=0, return_counts=True)
     assert (counts == 2).all()
+
+
+def test_tet_bunny_like_valid():
+    """The procedural bunny-class mesh (demo_data stand-in for
+    bunny_1124.node/.ele): unstructured Delaunay of blob-interior points.
+    Validity: positive volumes, bunny_1124-class size, deterministic."""
+    from admm_elastic_tpu.geometry.factory import make_tet_bunny_like
+
+    m = make_tet_bunny_like(600)
+    v = tet_volumes(m.vertices, m.tets)
+    assert (v > 0).all()
+    assert 400 <= len(m.vertices) <= 800
+    assert 2000 <= len(m.tets) <= 6000
+    # Non-convex / asymmetric (ears): extent in y exceeds x and z.
+    ext = m.vertices.max(0) - m.vertices.min(0)
+    assert ext[1] > ext[0] and ext[1] > ext[2]
+    # Deterministic generation (cached .node/.ele files must be stable).
+    m2 = make_tet_bunny_like(600)
+    np.testing.assert_array_equal(m.tets, m2.tets)
+    np.testing.assert_allclose(m.vertices, m2.vertices)
