@@ -83,16 +83,18 @@ class Settings:
     # hyperelastic prox (replaces the reference's per-element L-BFGS line
     # search, src/TetEnergyTerm.cpp:133).
     prox_newton_iters: int = 8
-    # EXPERIMENTAL: Anderson acceleration window m for the ADMM fixed
-    # point (0 = off). Safeguarded type-II AA on the Douglas-Rachford
-    # variable v = Dx + u (Peng et al. 2018, "Anderson Acceleration for
-    # Geometry Optimization and Physics Simulation"). Verified to converge
-    # dramatically faster on smooth fixed-point maps (see
-    # tests/test_anderson.py); on the SVD-based elastic prox iterations
-    # measured neutral-to-slower (the map's nonsmoothness defeats the
-    # secant model), with the residual safeguard keeping it stable —
-    # left opt-in for experimentation. aa_safeguard is the allowed
-    # residual growth before falling back to the plain iterate.
+    # Anderson acceleration window m for the ADMM fixed point (0 = off).
+    # Safeguarded type-II AA on the Douglas-Rachford variable v = Dx + u
+    # (Peng et al. 2018, "Anderson Acceleration for Geometry Optimization
+    # and Physics Simulation"). Measured on the NH beam (r3, f64): in the
+    # practical 10-30 ADMM-iteration regime aa_window=4 cuts the error vs
+    # the converged step by 5-14x (tests/test_anderson.py
+    # test_aa_wins_on_elastic_scene, DESIGN.md); past ~100 iterations both
+    # variants sit at the ADMM noise floor, so AA is neutral there. Cost
+    # per iteration is a few [m, L] dots — negligible next to the global
+    # solve. Off by default only for exact reference parity of iterates.
+    # aa_safeguard is the allowed residual growth before falling back to
+    # the plain iterate.
     aa_window: int = 0
     aa_safeguard: float = 1.0
     # SolverLog-tier convergence instrumentation (reference SolverLog,

@@ -98,7 +98,8 @@ def make_scenario_batch(solver, n_scenes: int, stiffness_scale=None, gravity=Non
 
 
 def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True,
-                      linsolver: Optional[int] = None):
+                      linsolver: Optional[int] = None,
+                      uses_sweep: bool = True):
     """Build a jitted sharded step over a ScenarioBatch.
 
     Runs the solver's configured global mode (or an explicit `linsolver`
@@ -121,18 +122,24 @@ def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True,
     system = solver.system
     # Base ELL form of A (unscaled); a per-scene stiffness sweep rescales
     # its stiffness entries (w^2 scales linearly, src/TetEnergyTerm.cpp:47).
-    # Always Jacobi here: the Jacobi diagonal rescales exactly per scene,
-    # while a two-grid coarse inverse is built for ONE operator — under a
-    # sweep it would precondition A(scale) with A(1)'s coarse solve and
-    # convergence would quietly degrade toward the iteration cap.
-    if solver.m_settings.pcg_precond != "jacobi":
+    # Swept batches force Jacobi: the Jacobi diagonal rescales exactly per
+    # scene, while a two-grid coarse inverse is built for ONE operator —
+    # under a sweep it would precondition A(scale) with A(1)'s coarse solve
+    # and convergence would quietly degrade toward the iteration cap.
+    # Callers whose batches keep stiffness_scale == 1.0 everywhere pass
+    # uses_sweep=False to keep the configured preconditioner (ADVICE r2:
+    # an unconditional downgrade silently regressed unswept twogrid runs).
+    precond = solver.m_settings.pcg_precond
+    if uses_sweep and precond != "jacobi":
         import warnings
 
         warnings.warn(
             "make_batched_step uses the Jacobi preconditioner for swept "
             "scenes (the two-grid coarse inverse cannot follow a per-scene "
-            "stiffness rescale).", stacklevel=2)
-    base_pcg = pcg_mod.prepare(system, solver._dtype, precond="jacobi")
+            "stiffness rescale); pass uses_sweep=False if every scene's "
+            "stiffness_scale is 1.0.", stacklevel=2)
+        precond = "jacobi"
+    base_pcg = pcg_mod.prepare(system, solver._dtype, precond=precond)
     base_params = solver._params()
     obstacles = tuple(solver.obstacles)
     colliders = tuple(solver.colliders)

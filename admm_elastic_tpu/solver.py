@@ -568,6 +568,9 @@ class Solver:
         if settings is not None:
             self.m_settings = settings
         s = self.m_settings
+        # What the caller configured, before any size-based auto-switch
+        # rewrites m_settings.linsolver (introspection parity, ADVICE r2).
+        self.requested_linsolver = s.linsolver
         if s.timestep_s <= 0.0:
             print(f"\n**Solver Error: timestep set to {s.timestep_s}s, changing to 1/24s.")
             s.timestep_s = 1.0 / 24.0
@@ -686,12 +689,14 @@ class Solver:
             # achieves anyway). The caller's Settings object is left
             # untouched — the override lives on a private copy (reusing
             # one Settings across solvers is normal).
-            print(f"**Solver::initialize: {n} verts exceeds "
-                  f"direct_max_verts={s.direct_max_verts}; serving "
-                  f"linsolver=0 via ELL-PCG (two-grid, tol 1e-10).")
+            if s.verbose >= 1:
+                print(f"**Solver::initialize: {n} verts exceeds "
+                      f"direct_max_verts={s.direct_max_verts}; serving "
+                      f"linsolver=0 via ELL-PCG (two-grid, tol 1e-10).")
             import copy
 
             s = copy.copy(s)
+            self.requested_linsolver = cfg.LDLT
             s.linsolver = cfg.PCG
             s.pcg_precond = "twogrid"
             s.pcg_tol = min(s.pcg_tol, 1e-10)
@@ -1077,7 +1082,12 @@ class Solver:
             print("**Solver::step_logged Warning: collision capacity "
                   "overflow — contacts were dropped this step (raise "
                   "HIT_CAP/cell_cap).")
-        final_r = float(jnp.linalg.norm(sysm.A_mv(system, curr_x) - b)) if b is not None else 0.0
+        # The residual of the LAST inner iteration of the LAST solve, in
+        # the active mode's own residual definition (see InnerLog): for
+        # ls=1/2/4 the solved operator is penalty/Schur-augmented, so
+        # ||A x - b|| on the bare operator would look non-converged even
+        # when the solve is exact (ADVICE r2).
+        final_r = float(res_rows[-1][-1]) if res_rows else 0.0
         self.solver_log = log_utils.InnerLog(
             residuals=np.stack(res_rows) if res_rows else np.zeros((0, n_inner)),
             errors=(np.stack(err_rows) if x_star is not None and err_rows else None),

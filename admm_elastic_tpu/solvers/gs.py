@@ -17,6 +17,16 @@ Here each color class updates as one batched kernel:
 - passive contacts are re-detected for the whole color at once and the
   constrained update is a masked tangent-plane projection.
 
+POSITIONING (do not spend perf effort here): ls=1 is the *parity oracle*,
+not a performance mode. Its ~240 dependent color sub-steps per solve are
+latency-bound by construction — no kernel can batch across colors without
+changing the iteration — so it will only ever tie a CPU core (measured
+1.04-1.13x ref). It is kept because it reproduces the reference's
+NodalMultiColorGS trajectories to 1.3e-12 (tests/test_parity.py), which is
+what anchors every other solver's correctness. For throughput use ls=4
+(AL-PCG) for contact and ls=3 (ELL-PCG) otherwise — see BASELINE.md's
+guidance table.
+
 Deviation from the reference: when self-collision penalties are active the
 reference re-colors A + C^T C on the fly (src/NodalMultiColorGS.hpp:83-85);
 re-coloring is not jit-stable, so hit-coupled nodes in the same color update

@@ -61,7 +61,9 @@ class InnerLog:
 
     residuals: np.ndarray  # [admm_iters, n_inner]
     errors: "np.ndarray | None" = None  # same shape, vs x_star (if set)
-    final_r: float = 0.0  # ||A x - b|| after the last solve
+    # Residual at the last inner iteration of the last solve, in the
+    # active mode's residual definition above (NOT always ||A x - b||).
+    final_r: float = 0.0
     x_star: "np.ndarray | None" = None  # set by the user before stepping
 
 

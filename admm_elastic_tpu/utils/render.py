@@ -104,7 +104,8 @@ def frames_to_video(frame_dir: str, out_path: str, fps: int = 24) -> str:
             check=True, capture_output=True, timeout=600,
         )
         return out_path
-    except (FileNotFoundError, subprocess.CalledProcessError):
+    except (FileNotFoundError, subprocess.CalledProcessError,
+            subprocess.TimeoutExpired):
         pass
     from PIL import Image
 

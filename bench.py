@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 NX, NY, NZ = 40, 5, 5  # 5000 tets, 1476 verts
 ADMM_ITERS = 10
-N_STEPS = 20
+N_STEPS = 20  # initial rollout length; calibrated up to >= TARGET_S
+TARGET_S = 2.0
+MAX_STEPS = 1200
 
 
 def _timed(fn, solver):
@@ -101,16 +103,28 @@ def main():
     assert np.abs(xs[pins] - mesh.vertices[pins]).max() < 1e-3, "pins not held"
     assert xs[:, 1].min() > -60.0 and xs[:, 1].min() < mesh.vertices[:, 1].min(), "no sag?"
 
-    # Best-of-reps: the TPU is reached through a tunnel whose dispatch
-    # latency varies by ~30% run to run; the minimum is the honest
-    # steady-state device throughput. (The CPU baseline driver is local
-    # and has no such variance.)
-    wall = min(
-        _timed(lambda: solver.run(N_STEPS), solver) for _ in range(8)
-    )
-    assert np.isfinite(solver.x).all(), "non-finite state after timed reps"
+    # Variance-proofing (VERDICT r2 weak #3): the tunnel's per-dispatch
+    # latency varies ~100 ms BETWEEN sessions, so short rollouts record
+    # session luck, not device throughput. Calibrate the rollout length
+    # until one dispatch costs >= TARGET_S (overhead < ~5%), then take the
+    # best of two independent best-of-4 passes and report their spread.
+    n_steps = N_STEPS
+    t = _timed(lambda: solver.run(n_steps), solver)
+    while t < TARGET_S and n_steps < MAX_STEPS:
+        grow = max(2.0, TARGET_S / max(t, 1e-3))
+        n_steps = min(MAX_STEPS, max(n_steps + 1, int(n_steps * grow)))
+        t = _timed(lambda: solver.run(n_steps), solver)
 
-    iters_per_s = N_STEPS * ADMM_ITERS / wall
+    def best_of(k):
+        return min(_timed(lambda: solver.run(n_steps), solver)
+                   for _ in range(k))
+
+    walls = [min(t, best_of(3)), best_of(4)]
+    assert np.isfinite(solver.x).all(), "non-finite state after timed reps"
+    wall = min(walls)
+    spread = abs(walls[0] - walls[1]) / wall
+
+    iters_per_s = n_steps * ADMM_ITERS / wall
 
     vs = None
     base_path = os.path.join(os.path.dirname(__file__), "benchmarks", "BASELINE_MEASURED.json")
@@ -128,6 +142,8 @@ def main():
         "value": round(iters_per_s, 2),
         "unit": "iters/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "rollout_steps": n_steps,
+        "pass_spread": round(spread, 4),
     }))
 
 

@@ -1,0 +1,72 @@
+"""Banded DIA+rest SpMV plan: exactness vs the plain ELL apply."""
+
+import numpy as np
+
+from admm_elastic_tpu.ops import spmv
+
+
+def _random_ell(n=300, k=9, seed=0, scramble=False, pattern="lattice"):
+    rng = np.random.default_rng(seed)
+    if pattern == "lattice":
+        # 1D-ish lattice with a few fixed offsets: the banded-friendly case.
+        offs = np.array([-31, -30, -1, 1, 30, 31, 60])
+        cols = (np.arange(n)[:, None] + offs[None, :k]) % n
+    else:
+        cols = rng.integers(0, n, (n, k))
+    vals = rng.standard_normal((n, k))
+    vals[rng.random((n, k)) < 0.2] = 0.0  # padding holes
+    if scramble:
+        perm = rng.permutation(n)
+        iperm = np.empty(n, np.int64)
+        iperm[perm] = np.arange(n)
+        cols = iperm[cols][perm]
+        vals = vals[perm]
+    return cols.astype(np.int32), vals
+
+
+def _ell_apply(cols, vals, x):
+    return np.einsum("nk,nkc->nc", vals, x[cols])
+
+
+def test_band_split_exact_lattice():
+    cols, vals = _random_ell(pattern="lattice", k=7)
+    plan = spmv.plan_bands(cols, vals)
+    assert plan.perm is None  # native order is already banded
+    # The test lattice wraps with % n, so a handful of boundary entries
+    # sit off the 7 main diagonals and land in the rest-ELL.
+    assert plan.coverage > 0.99
+    assert plan.rest_cols.shape[1] <= 2
+    x = np.random.default_rng(1).standard_normal((cols.shape[0], 3))
+    np.testing.assert_allclose(
+        spmv.apply_bands_ref(plan, x), _ell_apply(cols, vals, x),
+        rtol=1e-12, atol=1e-12)
+
+
+def test_band_split_scrambled_uses_rcm():
+    cols, vals = _random_ell(pattern="lattice", k=7, scramble=True)
+    plan = spmv.plan_bands(cols, vals)
+    assert plan.perm is not None  # scrambled order needs the permutation
+    assert plan.coverage > 0.5
+    x = np.random.default_rng(2).standard_normal((cols.shape[0], 3))
+    np.testing.assert_allclose(
+        spmv.apply_bands_ref(plan, x), _ell_apply(cols, vals, x),
+        rtol=1e-12, atol=1e-12)
+
+
+def test_band_split_random_falls_back_to_rest():
+    # A random graph has no popular diagonals: everything lands in the
+    # rest-ELL and the apply still matches exactly.
+    cols, vals = _random_ell(pattern="random", k=5)
+    plan = spmv.plan_bands(cols, vals)
+    x = np.random.default_rng(3).standard_normal((cols.shape[0], 3))
+    np.testing.assert_allclose(
+        spmv.apply_bands_ref(plan, x), _ell_apply(cols, vals, x),
+        rtol=1e-12, atol=1e-12)
+
+
+def test_band_split_empty():
+    cols = np.zeros((4, 1), np.int32)
+    vals = np.zeros((4, 1))
+    plan = spmv.plan_bands(cols, vals)
+    x = np.ones((4, 3))
+    np.testing.assert_allclose(spmv.apply_bands_ref(plan, x), 0.0)
