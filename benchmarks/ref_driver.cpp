@@ -158,6 +158,20 @@ int main(int argc, char** argv) {
         tris.push_back(vid(i + 1, j + 1));
         tris.push_back(vid(i, j + 1));
       }
+  } else if (model == 5) {
+    // Mesh-obstacle accuracy scene: a unit soft cube dropped onto a
+    // tet-meshed slab through the reference's exact BVH PassiveMesh path
+    // (PassiveObject.hpp:67-107: point-in-tet test + nearest-surface-
+    // triangle projection). The TPU build runs the same scene through its
+    // voxel-SDF PassiveMeshSDF at several resolutions to quantify the
+    // redesign's accuracy envelope (tests/test_parity.py).
+    make_beam(nx, ny, nz, verts, tets);
+    double cell = 1.0 / nx;
+    for (size_t v = 0; v < verts.size() / 3; ++v) {
+      verts[v * 3] *= cell;
+      verts[v * 3 + 1] = verts[v * 3 + 1] * cell + 0.4;
+      verts[v * 3 + 2] *= cell;
+    }
   } else {
     make_beam(nx, ny, nz, verts, tets);
   }
@@ -211,7 +225,7 @@ int main(int argc, char** argv) {
   } else if (model == 3) {
     admm::create_tris_from_mesh<double, admm::TriEnergyTerm>(
         solver.energyterms, verts.data(), tris.data(), n_tris, soft_rubber, 0);
-  } else if (model == 0) {
+  } else if (model == 0 || model == 5) {
     admm::create_tets_from_mesh<double, admm::TetEnergyTerm>(
         solver.energyterms, verts.data(), tets.data(), n_tets, soft_rubber, 0);
   } else if (model == 2) {
@@ -222,7 +236,26 @@ int main(int argc, char** argv) {
         solver.energyterms, verts.data(), tets.data(), n_tets, soft_rubber, 0);
   }
 
-  if (with_floor) {
+  if (model == 5) {
+    // Slab obstacle: make_beam(6,2,6) at cell 0.25, translated so the
+    // top face is y = -0.1 and the footprint covers the falling cube
+    // (x,z in [-0.25, 1.25]). Identical geometry is rebuilt python-side
+    // for the voxel-SDF comparison.
+    std::vector<double> ov;
+    std::vector<int> ot;
+    make_beam(6, 2, 6, ov, ot);
+    auto omesh = mcl::TetMesh::create();
+    for (size_t v = 0; v < ov.size() / 3; ++v)
+      omesh->vertices.push_back(
+          mcl::Vec3f((float)(ov[v * 3] * 0.25 - 0.25),
+                     (float)(ov[v * 3 + 1] * 0.25 - 0.6),
+                     (float)(ov[v * 3 + 2] * 0.25 - 0.25)));
+    for (size_t t = 0; t < ot.size() / 4; ++t)
+      omesh->tets.push_back(
+          mcl::Vec4i(ot[t * 4], ot[t * 4 + 1], ot[t * 4 + 2], ot[t * 4 + 3]));
+    omesh->need_faces();
+    solver.add_obstacle(std::make_shared<admm::PassiveMesh>(omesh));
+  } else if (with_floor) {
     solver.add_obstacle(
         std::make_shared<admm::Floor>(admm::Floor(floor_y)));
   } else {

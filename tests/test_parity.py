@@ -388,3 +388,78 @@ def test_wind_force_parity(tmp_path):
     scale = np.abs(ref).max()
     err = np.abs(ref - ours).max() / scale
     assert err < 1e-8, f"wind parity: rel max |dx| = {err}"
+
+
+def test_mesh_obstacle_sdf_accuracy(tmp_path):
+    """Voxel-SDF mesh obstacle vs the reference's exact BVH PassiveMesh
+    (VERDICT r2 missing #1: quantify the redesign's accuracy envelope).
+
+    Same scene both sides (ref_driver model 5): a unit soft cube dropped
+    0.5 onto a tet-meshed slab whose top face is y = -0.1. The reference
+    resolves contact with exact point-in-tet + nearest-surface-triangle
+    projection (PassiveObject.hpp:67-107); we rebuild the identical slab
+    as a voxel SDF at three resolutions and compare full trajectories.
+
+    Expected envelope (measured, DESIGN.md "Mesh obstacles"): the error is
+    O(h) in the grid spacing h near flat faces; penetration below the true
+    surface stays under ~h/2. Default resolution 48 => h ~ extent/47,
+    i.e. sub-percent of the obstacle size.
+    """
+    subprocess.run(
+        ["bash", os.path.join(HERE, "benchmarks", "build_reference.sh")],
+        check=True, capture_output=True, timeout=500,
+    )
+    steps, nres = 40, 8
+    dump = str(tmp_path / "meshobs.bin")
+    subprocess.run(
+        ["/tmp/ref_build/ref_driver", str(nres), str(nres), str(nres),
+         str(ITERS), str(steps), "5", dump, "1", "9999"],
+        check=True, capture_output=True, timeout=600,
+    )
+    n_verts = (nres + 1) ** 3
+    ref = np.fromfile(dump, np.float64).reshape(steps, n_verts, 3)
+    assert np.isfinite(ref).all()
+    assert ref[-1, :, 1].min() > -0.2, "reference cube fell through slab?"
+
+    from admm_elastic_tpu import Lame, Settings, Solver
+    from admm_elastic_tpu.collision.passive import PassiveMeshSDF
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks, make_xform
+    from admm_elastic_tpu.geometry.mesh import lumped_masses_tet
+
+    slab = make_tet_blocks(6, 2, 6, cell=0.25)
+    slab.apply_xform(make_xform(trans=(-0.25, -0.6, -0.25)))
+
+    def run(resolution):
+        cube = make_tet_blocks(nres, nres, nres, cell=1.0 / nres)
+        cube.apply_xform(make_xform(trans=(0.0, 0.4, 0.0)))
+        solver = Solver()
+        masses = lumped_masses_tet(cube.vertices, cube.tets, 1522.0)
+        solver.add_nodes(cube.vertices, masses)
+        solver.add_tet_energies(
+            cube.vertices, cube.tets,
+            Lame.from_youngs_poisson(10000000, 0.399), model="linear")
+        solver.add_obstacle(PassiveMeshSDF.from_tet_mesh(
+            slab.vertices, slab.tets, resolution=resolution))
+        s = Settings(verbose=0, admm_iters=ITERS, linsolver=1, gravity=-9.8)
+        assert solver.initialize(s)
+        traj = []
+        for _ in range(steps):
+            solver.step()
+            traj.append(solver.x.copy())
+        return np.stack(traj)
+
+    report = {}
+    for res in (12, 24, 48):
+        ours = run(res)
+        assert np.isfinite(ours).all()
+        h = 2.0 / (res - 1)  # slab extent ~1.5+pad over res-1 cells
+        traj_err = float(np.abs(ours - ref).max())
+        pen = float(max(0.0, -0.1 - ours[-1, :, 1].min()))
+        report[res] = (h, traj_err, pen)
+        # Penetration below the exact surface bounded by the grid spacing.
+        assert pen < 0.6 * h + 5e-3, (res, report[res])
+    # The envelope tightens with resolution and is small at the default.
+    assert report[48][1] <= report[12][1] + 1e-6, report
+    assert report[48][2] < 0.03, report
+    print("mesh-obstacle envelope {res: (h, traj_err, penetration)}:",
+          report)

@@ -95,3 +95,57 @@ def test_shard_fallback_warns_on_indivisible(recwarn):
             "indivisible shard fallback must warn"
     out = step(make_scenario_batch(solver, 2))
     assert np.isfinite(np.asarray(out.x)).all()
+
+
+def test_shard_contact_alpcg_partitions_and_matches():
+    """Multi-device CONTACT: floor + AL-PCG (ls=4) through the
+    (scene x shard) mesh (VERDICT r2 item 9 — the sharding proof only
+    covered the contact-free PCG path)."""
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu import Floor, Lame, Settings, Solver, binding
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks
+    from admm_elastic_tpu.parallel.batch import (make_batched_step,
+                                                 make_scenario_batch)
+
+    mesh_geo = make_tet_blocks(15, 7, 7)
+    mesh_geo.flags = binding.NOSELFCOLLISION | binding.LINEAR
+    solver = Solver()
+    binding.add_tetmesh(solver, mesh_geo, Lame.soft_rubber(), verbose=False)
+    solver.add_obstacle(Floor(y=jnp.asarray(-0.25)))
+    s = Settings(verbose=0, admm_iters=3, linsolver=4,
+                 pcg_max_iters=20, pcg_tol=1e-6)
+    assert solver.initialize(s)
+    n_verts = solver._n_verts
+    assert n_verts == 1024
+
+    n_shard = 8
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(1, n_shard),
+                axis_names=("scene", "shard"))
+    batch = make_scenario_batch(solver, 1)
+    step = make_batched_step(solver, mesh=mesh, donate=False)
+
+    compiled = step.lower(batch).compile()
+    hlo = compiled.as_text()
+    assert any(op in hlo for op in
+               ("all-reduce", "all-gather", "collective-permute",
+                "reduce-scatter", "all-to-all")), \
+        "no cross-device collectives in the sharded contact step HLO"
+
+    # Drive several steps so bodies actually reach the floor and the
+    # multiplier state y is exercised through the sharded path.
+    out = batch
+    for _ in range(6):
+        out = step(out)
+    out = jax.block_until_ready(out)
+    shard_shapes = {sh.data.shape for sh in out.x.addressable_shards}
+    assert shard_shapes == {(1, n_verts // n_shard, 3)}, shard_shapes
+
+    step1 = make_batched_step(solver, mesh=None, donate=False)
+    out1 = make_scenario_batch(solver, 1)
+    for _ in range(6):
+        out1 = step1(out1)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(out1.x),
+                               atol=1e-7)
+    # Contact actually engaged: nothing tunneled through the floor.
+    assert float(np.asarray(out.x)[..., 1].min()) > -0.35
