@@ -155,6 +155,10 @@ def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True,
             base_pcg,
             ell_vals=base_pcg.ell_vals * scale,
             diag_stiff=base_pcg.diag_stiff * scale,
+            # All off-diagonal entries are stiffness; the banded fast
+            # path must follow the sweep exactly like the rest-ELL.
+            bands=(None if base_pcg.bands is None
+                   else base_pcg.bands * scale),
         )
         params = dict(base_params)
         params["gravity"] = grav

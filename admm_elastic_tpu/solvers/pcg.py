@@ -11,7 +11,7 @@ all entries, so under sharding they lower to psum over the mesh axis.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,16 +20,32 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class PCGData:
-    """Precomputed ELL form of A for the PCG global step.
+    """Precomputed operator data for the PCG global step.
 
-    A row gather over the fixed-width neighbor table is ~5x faster on TPU
-    than re-deriving A x through the element pipeline (two gathers + two
-    contractions + vertex gather-sum) every CG iteration; topology and
-    weights are fixed at initialize so A's entries are too. The stiffness
-    part is kept separate from the mass diagonal so a per-scene stiffness
-    sweep is a scalar rescale (parallel/batch.py).
+    Two storage forms for the off-diagonal of A, chosen at prepare():
+
+    - Banded/DIA (the fast path): band_offsets/bands hold the popular
+      constant diagonals of A in a locality-preserving vertex order, and
+      the apply is shift+fma on a [3, N] transposed state — measured AT
+      the HBM roofline (~5 us at 160k tets, 871 GB/s; r3 hw_probe5).
+      Mesh graphs in lattice/RCM order put ~100% of nnz on a few dozen
+      diagonals, so this covers every structured scene and, via the RCM
+      permutation (perm/iperm), scrambled orderings too.
+    - Padded ELL row gather (fallback): XLA:TPU lowers arbitrary-index
+      gathers at ~3 GB/s regardless of locality (r3 hw_probe4), ~400x off
+      the roofline — kept only for graphs with no banded structure, and
+      for the thin "rest" of nnz off the popular diagonals (gather cost
+      scales with N*K_rest, so a thin rest stays cheap).
+
+    Topology and weights are fixed at initialize so A's entries are too.
+    The stiffness part is kept separate from the mass diagonal so a
+    per-scene stiffness sweep is a scalar rescale (parallel/batch.py);
+    ALL off-diagonal entries are stiffness, so the sweep scales bands and
+    rest alike.
     """
 
+    # With bands active these hold only the thin REST (entries off the
+    # popular diagonals, K often 0); otherwise the full off-diagonal.
     ell_cols: jax.Array  # i32 [N, K] off-diagonal neighbor columns
     ell_vals: jax.Array  # [N, K] off-diagonal A entries (pad = 0)
     diag_mass: jax.Array  # [N] lumped masses
@@ -51,6 +67,14 @@ class PCGData:
     # pad entries point one past the last row — see reduction.dt_gather).
     agg_gather: Optional[jax.Array] = None
     coarse_inv: Optional[jax.Array] = None  # [C, C]
+    # Banded/DIA fast path (None -> ELL row gather). offsets are static
+    # (meta field): the apply unrolls one shift+fma per diagonal.
+    bands: Optional[jax.Array] = None  # [D, N] A[i, i+off_d] in band order
+    # Optional RCM vertex permutation making A banded when the native
+    # order is not (row i of the banded operator is vertex perm[i]).
+    perm: Optional[jax.Array] = None  # i64 [N]
+    iperm: Optional[jax.Array] = None  # i64 [N]
+    band_offsets: Tuple[int, ...] = ()
 
     def diag(self, scale=None):
         d = self.diag_stiff if scale is None else scale * self.diag_stiff
@@ -82,24 +106,70 @@ class PCGData:
 
     def apply(self, x, scale=None):
         """A x for x [N, k]."""
-        vals = self.ell_vals if scale is None else scale * self.ell_vals
-        off = jnp.sum(vals[:, :, None] * x[self.ell_cols], axis=1)
+        off = self.off_apply(x, scale)
         return self.diag(scale)[:, None] * x + off
+
+    def off_apply(self, x, scale=None):
+        """Off-diagonal apply: banded shift+fma (+ thin rest) or ELL."""
+        if self.bands is None:
+            vals = self.ell_vals if scale is None else scale * self.ell_vals
+            return jnp.sum(vals[:, :, None] * x[self.ell_cols], axis=1)
+        bands = self.bands if scale is None else scale * self.bands
+        xb = x if self.perm is None else x[self.perm]
+        # [3, N] transpose: the shifted fma streams with N on lanes
+        # (measured 5.2 us vs 29 us for the [N, 3] layout at 160k tets).
+        xT = xb.T
+        lo = -min(self.band_offsets)
+        hi = max(self.band_offsets)
+        xp = jnp.pad(xT, ((0, 0), (max(lo, 0), max(hi, 0))))
+        acc = jnp.zeros_like(xT)
+        n = xT.shape[1]
+        for i, o in enumerate(self.band_offsets):
+            acc = acc + bands[i][None, :] * jax.lax.dynamic_slice_in_dim(
+                xp, max(lo, 0) + o, n, axis=1)
+        off = acc.T
+        if self.ell_cols.shape[1]:
+            vals = self.ell_vals if scale is None else scale * self.ell_vals
+            off = off + jnp.sum(vals[:, :, None] * xb[self.ell_cols], axis=1)
+        return off if self.perm is None else off[self.iperm]
 
 
 jax.tree_util.register_dataclass(
     PCGData,
-    data_fields=("ell_cols", "ell_vals", "diag_mass", "diag_stiff", "diag_pin", "agg", "agg_gather", "coarse_inv"),
-    meta_fields=(),
+    data_fields=("ell_cols", "ell_vals", "diag_mass", "diag_stiff", "diag_pin", "agg", "agg_gather", "coarse_inv", "bands", "perm", "iperm"),
+    meta_fields=("band_offsets",),
 )
 
 
 def prepare(system, dtype, precond: str = "jacobi",
-            agg_size: int = 24) -> PCGData:
-    """One-time ELL assembly of A (host); precond in {"jacobi","twogrid"}."""
+            agg_size: int = 24, spmv_format: str = "auto") -> PCGData:
+    """One-time operator assembly of A (host).
+
+    precond in {"jacobi", "twogrid"}; spmv_format in {"auto", "bands",
+    "ell"} — "auto" takes the banded/DIA fast path when the popular
+    diagonals (after RCM if needed) cover >= 90% of the off-diagonal nnz,
+    which holds for every lattice/sheet mesh and for most unstructured
+    meshes once RCM-ordered.
+    """
     from admm_elastic_tpu.system import assembly
 
     ell_cols, ell_vals, diag = assembly.assemble_ell(system, dtype=np.float64)
+    bands = perm = iperm = None
+    band_offsets = ()
+    if spmv_format in ("auto", "bands") and ell_cols.shape[1]:
+        from admm_elastic_tpu.ops import spmv
+
+        plan = spmv.plan_bands(ell_cols, ell_vals)
+        if plan.offsets and (plan.coverage >= 0.9 or spmv_format == "bands"):
+            band_offsets = plan.offsets
+            bands = jnp.asarray(plan.bands, dtype=dtype)
+            ell_cols = plan.rest_cols
+            ell_vals = plan.rest_vals
+            if plan.perm is not None:
+                perm = jnp.asarray(plan.perm)
+                iperm = jnp.asarray(plan.iperm)
+    elif spmv_format != "ell" and spmv_format not in ("auto", "bands"):
+        raise ValueError(f"unknown spmv_format {spmv_format!r}")
     masses = np.asarray(system.masses, dtype=np.float64)
     pin_diag = np.zeros_like(masses)
     if system.pins is not None:
@@ -130,6 +200,10 @@ def prepare(system, dtype, precond: str = "jacobi",
         agg=agg,
         agg_gather=agg_gather,
         coarse_inv=coarse_inv,
+        bands=bands,
+        perm=perm,
+        iperm=iperm,
+        band_offsets=band_offsets,
     )
 
 

@@ -59,6 +59,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Handshake first: the tunnel intermittently wedges a fresh client at
+    # its first device contact (memory: tpu-tunnel-serialization). Doing a
+    # trivial op up front and printing lets the tpu_run.sh watchdog use a
+    # short stall window instead of waiting out a long legit compile.
+    jnp.asarray([1.0]).block_until_ready()
+    print(f"handshake ok: {jax.devices()}", flush=True)
+
     from admm_elastic_tpu import Lame, Settings, Solver, binding
     from admm_elastic_tpu.geometry.factory import make_tet_blocks
     from admm_elastic_tpu.solvers import pcg as pcg_mod

@@ -173,6 +173,15 @@ SCENES = {
         60, 15, 15, "linear", 4, floor_y=-1.0, pcg=("twogrid", 30, 1e-3)),
     "beam-floor-alpcg-160k": lambda: _beam_solver(
         80, 20, 20, "linear", 4, floor_y=-1.0, pcg=("twogrid", 40, 1e-4)),
+    # North-star sizes (BASELINE.json configs 4/2): ~512k-tet solid
+    # (110k verts) and ~51k-tri cloth. Reference denominators come from
+    # BIG=1 bash run_baseline_matrix.sh.
+    "beam-nh-500k": lambda: _beam_solver(100, 32, 32, "nh", 3,
+                                         pcg=("twogrid", 60, 1e-6)),
+    "beam-floor-alpcg-500k": lambda: _beam_solver(
+        100, 32, 32, "linear", 4, floor_y=-1.0, pcg=("twogrid", 40, 1e-4)),
+    "cloth-limit-160": lambda: _cloth_solver(160, 160,
+                                             limits=(0.95, 1.05)),
     # Gentle wind + zero gravity: the reference WindForce adds the kick
     # straight to velocity (no mass division) and diverges outside this
     # regime (see tests/test_parity.py wind scene note).
@@ -190,6 +199,7 @@ REF_LABEL = {
     "beam-floor-alpcg-67k": "beam-floor-uzawa-67k",
     "beam-floor-alpcg-67k-fast": "beam-floor-uzawa-67k",
     "beam-floor-alpcg-160k": "beam-floor-uzawa-160k",
+    "beam-floor-alpcg-500k": "beam-floor-uzawa-500k",
     "boxes-alpcg-n6": "boxes-gs-n6",
 }
 
@@ -225,7 +235,8 @@ def main():
         if only and label not in only:
             continue
         solver = build()
-        steps = 3 if "160k" in label or "67k" in label else 10
+        steps = (3 if any(s in label for s in ("160k", "67k", "500k", "160"))
+                 else 10)
         dt = _time(solver, steps=steps)
         ours = ADMM_ITERS / dt
         rl = REF_LABEL.get(label, label)

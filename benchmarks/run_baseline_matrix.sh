@@ -38,4 +38,13 @@ run cloth-limit-40 40 40 0 10 20 3 "" 0 9999.0 0.95 1.05
 # Boxes self-collision (two stacked boxes + floor, NCMCGS): 270 / 2160 tets.
 run boxes-gs-n3 3 0 0 10 25 4 "" 1 -0.5
 run boxes-gs-n6 6 0 0 10 25 4 "" 1 -0.5
+
+# North-star sizes (BASELINE.json configs 2/4: ~500k-tet solid, ~50k-tri
+# cloth). Heavy: the 512k-tet LDLT factor alone runs many minutes on this
+# box, so these only run with BIG=1 in the environment.
+if [ -n "$BIG" ]; then
+  run beam-nh-500k     100 32 32 10 2 1
+  run beam-floor-uzawa-500k 100 32 32 10 1 0 "" 2 -1.0
+  run cloth-limit-160  160 160 0 10 3 3 "" 0 9999.0 0.95 1.05
+fi
 echo "wrote $RES" >&2

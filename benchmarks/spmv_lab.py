@@ -1,9 +1,20 @@
 """SpMV design lab for the ELL global-step apply (VERDICT r2 item 1).
 
-The ls=3/4 global step spends its time in `PCGData.apply`, whose
-off-diagonal part is a [N,K]-index row gather measured ~70x off the HBM
-roofline at 160k tets. This lab times candidate formats on the real chip
-so the production kernel is chosen from measurements, not guesses:
+MEASUREMENT CAVEAT (discovered r3, after this lab first ran): on the
+axon backend `block_until_ready` does NOT block — single-dispatch
+timings here measure only the enqueue and UNDER-report heavy ops while
+dispatch-queue backpressure makes light ops in other processes
+OVER-report. The authoritative protocol is the slope method in
+/tmp-style probes + benchmarks/global_lab*.py: vary inputs per rep, end
+with a scalar readback (costs a flat ~33 ms round trip), and take the
+per-iteration cost from the difference of two fused-scan lengths.
+Slope-measured truth (160k-tet shapes, f32): ELL row gather ~2.1 ms
+(XLA:TPU gathers run ~3 GB/s regardless of index locality); banded/DIA
+shift+fma on a [3,N] state ~5 us (871 GB/s, at the HBM roofline);
+windowed-dense via vmapped dynamic slices ~3.6 ms (dead). That is why
+production (solvers/pcg.py) uses the hybrid DIA + thin-rest format.
+
+Historical variants timed per-dispatch below (kept for the record):
 
   v0  current form: sum(vals[:,:,None] * x[cols], axis=1)
   v1  per-coordinate flat gathers (scalar gather, no row granularity)
@@ -197,6 +208,17 @@ def main():
     print(f"{'v0_shuffled':18s} {t*1e6:8.0f} us", flush=True)
 
     # --- Pallas support probes ---------------------------------------------
+    # DISABLED BY DEFAULT (--pallas-probes): the failing compiles crash the
+    # remote tpu_compile_helper ("HTTP 500 ... exit code 1") and the wedged
+    # service then HANGS every subsequent compile in the container for
+    # minutes. Recorded results (2026-08-17, jax 0.9.0):
+    #   take_along_axis(axis=0) in-kernel: compile helper crash (HTTP 500)
+    #   take_along_axis(axis=1) in-kernel: compiles OK (lane gather)
+    #   jnp.take / fancy row indexing: "Shape mismatch" Mosaic reject
+    # -> no sublane gather in this Mosaic; lane-axis gather exists but the
+    # XLA v0 form is already at the roofline, so no Pallas kernel needed.
+    if "--pallas-probes" not in sys.argv:
+        return
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
