@@ -60,7 +60,8 @@ def add_tetmesh(solver: Solver, mesh: TetMesh, lame: Lame | None = None, verbose
         if mesh.flags & flag:
             model = m
     solver.add_tet_energies(mesh.vertices, mesh.tets, lame, model=model,
-                            vertex_offset=prev_verts)
+                            vertex_offset=prev_verts,
+                            lattice_dims=getattr(mesh, "lattice_dims", None))
 
     if verbose:
         print(

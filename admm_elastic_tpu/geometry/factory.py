@@ -126,7 +126,11 @@ def make_tet_blocks(nx: int, ny: int, nz: int, cell: float = 1.0) -> TetMesh:
     e = np.stack([x4[:, 1] - x4[:, 0], x4[:, 2] - x4[:, 0], x4[:, 3] - x4[:, 0]], axis=-1)
     bad = np.linalg.det(e) < 0
     tets[bad] = tets[bad][:, [0, 2, 1, 3]]
-    return TetMesh(vertices=verts, tets=tets)
+    mesh = TetMesh(vertices=verts, tets=tets)
+    # Structured-grid tag: lets the solver take the gather-free stencil
+    # D/D^T path (ops/stencil.py) after verifying inds at build time.
+    mesh.lattice_dims = (nx, ny, nz)
+    return mesh
 
 
 def _reorient(verts: np.ndarray, tets: np.ndarray) -> np.ndarray:

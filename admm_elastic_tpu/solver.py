@@ -437,12 +437,15 @@ class Solver:
         return self._n_verts
 
     def add_tet_energies(self, verts, tets, lame: Lame, model: str = "linear",
-                         vertex_offset: int = 0, kappa: float = 0.0):
+                         vertex_offset: int = 0, kappa: float = 0.0,
+                         lattice_dims=None):
         """Register a tet element family (create_tets_from_mesh equivalent,
-        src/TetEnergyTerm.hpp:35-51)."""
+        src/TetEnergyTerm.hpp:35-51). lattice_dims=(nx,ny,nz) marks a
+        structured make_tet_blocks grid (verified against tets at build;
+        enables the gather-free stencil D/D^T)."""
         self._tet_specs.append((np.asarray(verts, dtype=np.float64),
                                 np.asarray(tets, dtype=np.int64), lame, model,
-                                vertex_offset, kappa))
+                                vertex_offset, kappa, lattice_dims))
 
     def add_tri_energies(self, verts, tris, lame: Lame, vertex_offset: int = 0):
         """Register a triangle (cloth) family (src/TriEnergyTerm.hpp:31-46)."""
@@ -589,8 +592,9 @@ class Solver:
 
         # Element batches.
         tets = tuple(
-            el.build_tet_batch(v, t, lame, model, off, dtype=dtype, kappa=kap)
-            for (v, t, lame, model, off, kap) in self._tet_specs
+            el.build_tet_batch(v, t, lame, model, off, dtype=dtype, kappa=kap,
+                               lattice_dims=dims)
+            for (v, t, lame, model, off, kap, dims) in self._tet_specs
         )
         tris = tuple(
             el.build_tri_batch(v, t, lame, off, dtype=dtype)

@@ -17,6 +17,8 @@ Builders consume numpy arrays and mirror the reference constructors:
 
 from __future__ import annotations
 
+import os
+
 import dataclasses
 from typing import Optional
 
@@ -69,6 +71,9 @@ class TetBatch:
     # the global vertex count is known. None -> scatter-add fallback.
     gather_idx: Optional[jax.Array] = None
     model: str = "linear"  # static
+    # Structured-lattice stencil meta (ops/stencil.py StencilMeta) or
+    # None; static. When set, D/D^T skip the (slow) gathers entirely.
+    stencil: Optional[tuple] = None
 
     @property
     def n(self) -> int:
@@ -157,7 +162,7 @@ class TetBatch:
         )
 
 
-_register(TetBatch, ("inds", "Dlocal", "vol", "weight", "mu", "lam", "kappa", "gather_idx"), ("model",))
+_register(TetBatch, ("inds", "Dlocal", "vol", "weight", "mu", "lam", "kappa", "gather_idx"), ("model", "stencil"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -263,6 +268,7 @@ def build_tet_batch(
     vertex_offset: int = 0,
     dtype=np.float64,
     kappa: float = 0.0,
+    lattice_dims=None,
 ) -> TetBatch:
     """Build a TetBatch from rest vertices [V,3] and tet indices [T,4].
 
@@ -287,6 +293,12 @@ def build_tet_batch(
     k = lame.bulk_modulus()
     weight = np.sqrt(k * vol)
     T = tets.shape[0]
+    stencil = None
+    if lattice_dims is not None and not os.environ.get("ADMM_TPU_NO_STENCIL"):
+        from admm_elastic_tpu.ops import stencil as stencil_mod
+
+        stencil = stencil_mod.verify_lattice(tets, lattice_dims,
+                                             base=vertex_offset)
     return TetBatch(
         inds=jnp.asarray(tets + vertex_offset, dtype=np.int32),
         Dlocal=jnp.asarray(Dlocal, dtype=dtype),
@@ -296,6 +308,7 @@ def build_tet_batch(
         lam=jnp.full((T,), lame.lam, dtype=dtype),
         kappa=jnp.full((T,), kappa, dtype=dtype),
         model=model,
+        stencil=stencil,
     )
 
 

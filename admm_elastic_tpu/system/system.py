@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from admm_elastic_tpu.ops import reduction as red
+from admm_elastic_tpu.ops import stencil as stencil_mod
 from admm_elastic_tpu.system.elements import PinBatch, TetBatch, TriBatch
 
 
@@ -62,7 +63,10 @@ def Dx(system: System, x):
     """
     out = []
     for b in system.tets:
-        out.append(red.tet_Dx_rows(x, b.inds, b.Dlocal))
+        if b.stencil is not None:
+            out.append(stencil_mod.tet_Dx_rows(x, b.stencil, b.Dlocal))
+        else:
+            out.append(red.tet_Dx_rows(x, b.inds, b.Dlocal))
     for b in system.tris:
         out.append(red.tri_Dx_rows(x, b.inds, b.Dlocal))
     if system.pins is not None:
@@ -90,7 +94,12 @@ def DtW2(system: System, g_list):
     parts = []
     for b in system.tets:
         w2 = (b.weight * b.weight)[None, :]  # rows layout [9, T]
-        parts.append(red.tet_Dt_rows(w2 * g_list[i], b.inds, b.Dlocal, n, b.gather_idx))
+        if b.stencil is not None:
+            parts.append(stencil_mod.tet_Dt_rows(w2 * g_list[i], b.stencil,
+                                                 b.Dlocal, n))
+        else:
+            parts.append(red.tet_Dt_rows(w2 * g_list[i], b.inds, b.Dlocal, n,
+                                         b.gather_idx))
         i += 1
     for b in system.tris:
         w2 = (b.weight * b.weight)[None, :]  # rows layout [6, T]

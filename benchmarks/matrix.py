@@ -157,29 +157,32 @@ SCENES = {
     # this size and the apples-to-apples peer of the reference's LDLT.
     "beam-nh-5k": lambda: _beam_solver(40, 5, 5, "nh", 0),
     "beam-nh-40k": lambda: _beam_solver(80, 10, 10, "nh", 3),
+    # Post-r3 banded SpMV the step is no longer solve-dominated and plain
+    # Jacobi beats the two-grid V-cycle (whose transfers are gather-bound):
+    # 97.2 vs 87.9 iters/s measured at 160k (A/B r3).
     "beam-nh-160k": lambda: _beam_solver(80, 20, 20, "nh", 3,
-                                         pcg=("twogrid", 60, 1e-6)),
+                                         pcg=("jacobi", 120, 1e-6)),
     "beam-floor-gs-5k": lambda: _beam_solver(40, 5, 5, "nh", 1, floor_y=-1.0),
     "beam-floor-uzawa-5k": lambda: _beam_solver(40, 5, 5, "nh", 2, floor_y=-1.0),
     "beam-floor-uzawa-67k": lambda: _beam_solver(60, 15, 15, "linear", 2,
                                                  floor_y=-1.0),
     "beam-floor-alpcg-67k": lambda: _beam_solver(60, 15, 15, "linear", 4,
                                                  floor_y=-1.0,
-                                                 pcg=("twogrid", 60, 1e-6)),
+                                                 pcg=("jacobi", 120, 1e-6)),
     # Loose inner tolerance: ADMM is the outer iteration and the AL
     # multiplier absorbs residual constraint error; measured 2x faster
     # than tol=1e-6 with the floor still held to ~5e-4.
     "beam-floor-alpcg-67k-fast": lambda: _beam_solver(
-        60, 15, 15, "linear", 4, floor_y=-1.0, pcg=("twogrid", 30, 1e-3)),
+        60, 15, 15, "linear", 4, floor_y=-1.0, pcg=("jacobi", 60, 1e-3)),
     "beam-floor-alpcg-160k": lambda: _beam_solver(
-        80, 20, 20, "linear", 4, floor_y=-1.0, pcg=("twogrid", 40, 1e-4)),
+        80, 20, 20, "linear", 4, floor_y=-1.0, pcg=("jacobi", 80, 1e-4)),
     # North-star sizes (BASELINE.json configs 4/2): ~512k-tet solid
     # (110k verts) and ~51k-tri cloth. Reference denominators come from
     # BIG=1 bash run_baseline_matrix.sh.
     "beam-nh-500k": lambda: _beam_solver(100, 32, 32, "nh", 3,
-                                         pcg=("twogrid", 60, 1e-6)),
+                                         pcg=("jacobi", 150, 1e-6)),
     "beam-floor-alpcg-500k": lambda: _beam_solver(
-        100, 32, 32, "linear", 4, floor_y=-1.0, pcg=("twogrid", 40, 1e-4)),
+        100, 32, 32, "linear", 4, floor_y=-1.0, pcg=("jacobi", 100, 1e-4)),
     "cloth-limit-160": lambda: _cloth_solver(160, 160,
                                              limits=(0.95, 1.05)),
     # Gentle wind + zero gravity: the reference WindForce adds the kick
@@ -229,11 +232,17 @@ def main():
                 continue
             ref[d["label"]] = d
 
+    import jax
+    import jax.numpy as jnp
+
+    jnp.asarray([1.0]).block_until_ready()
+    print(f"handshake ok: {jax.devices()}", file=sys.stderr, flush=True)
     only = set(args.only.split(",")) if args.only else None
     results = []
     for label, build in SCENES.items():
         if only and label not in only:
             continue
+        print(f"building {label}...", file=sys.stderr, flush=True)
         solver = build()
         steps = (3 if any(s in label for s in ("160k", "67k", "500k", "160"))
                  else 10)
