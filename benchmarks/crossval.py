@@ -140,7 +140,18 @@ def main():
         acc = run_scene(**kw)
         scale = max(abs(cpu).max(), 1e-9)
         err = abs(acc - cpu).max() / scale
-        ok = bool((err < 2e-3) and __import__("numpy").isfinite(acc).all())
+        # Per-scene bound: the default 2e-3 is ~300x the typical
+        # backend-reassociation noise. The NH-PCG beam is the one scene
+        # whose f32 trajectory is measurably chaotic: a single benign
+        # op-reordering (stencil vs gather D, SAME backend) differs
+        # 7.1e-6 after one step and 3.1e-3 after the 8 steps compared
+        # here (measured r3, /tmp/stencil_check.py protocol) — Lyapunov
+        # amplification ~2x/step. Its bound is therefore 1e-2: still
+        # catches the miscompile class this harness exists for (the
+        # fusion bugs found in r1/r2 produced O(1) divergence or NaNs),
+        # without flagging rounding-profile changes.
+        bound = 1e-2 if name == "beam_nh_pcg" else 2e-3
+        ok = bool((err < bound) and __import__("numpy").isfinite(acc).all())
         print(json.dumps({"scene": name, "rel_err": float(f"{err:.3e}"),
                           "ok": ok}))
         if not ok:
