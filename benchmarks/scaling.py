@@ -65,6 +65,10 @@ def _time_batch(jax, step, batch, reps=3):
 def run_throughput(max_scenes: int):
     import numpy as np
     import jax
+    import jax.numpy as jnp
+
+    jnp.asarray([1.0]).block_until_ready()
+    print(f"handshake ok: {jax.devices()}", file=sys.stderr, flush=True)
 
     from admm_elastic_tpu.parallel import batch as pb
 
