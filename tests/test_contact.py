@@ -119,10 +119,22 @@ def test_ldlt_auto_switches_to_pcg_for_big_meshes(capsys):
     mesh2.flags = binding.NOSELFCOLLISION | binding.LINEAR
     binding.add_tetmesh(auto, mesh2, Lame.soft_rubber(), verbose=False)
     auto.set_pins([0, 1])
-    st = Settings(verbose=0, admm_iters=8, linsolver=0)
+    st = Settings(verbose=1, admm_iters=8, linsolver=0)
     st.direct_max_verts = 10  # scene has 45 verts -> triggers the switch
     assert auto.initialize(st)
+    # The switch notice respects verbose (ADVICE r2): printed at >= 1 ...
     assert "ELL-PCG" in capsys.readouterr().out
+    quiet = Solver()
+    mesh3 = make_tet_blocks(4, 2, 2)
+    mesh3.flags = binding.NOSELFCOLLISION | binding.LINEAR
+    binding.add_tetmesh(quiet, mesh3, Lame.soft_rubber(), verbose=False)
+    quiet.set_pins([0, 1])
+    stq = Settings(verbose=0, admm_iters=8, linsolver=0)
+    stq.direct_max_verts = 10
+    assert quiet.initialize(stq)
+    # ... and silent at 0, while the switch itself still happens.
+    assert "ELL-PCG" not in capsys.readouterr().out
+    assert isinstance(quiet._solve_data, PCGData)
     assert isinstance(auto._solve_data, PCGData)
     # The caller's Settings object is NOT mutated (Settings reuse across
     # solvers is normal); the override lives on the solver's private copy.
