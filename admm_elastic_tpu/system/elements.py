@@ -179,6 +179,10 @@ class TriBatch:
     limit_max: jax.Array  # [T]
     gather_idx: Optional[jax.Array] = None  # see TetBatch.gather_idx
     model: str = "linear"
+    # Regular-sheet stencil meta (ops/stencil.py TriStencilMeta) or None;
+    # static. Auto-detected from the index array at build (no factory
+    # hint): cloth grids make D/D^T pure streamed slices.
+    stencil: Optional[tuple] = None
 
     @property
     def n(self) -> int:
@@ -224,7 +228,7 @@ class TriBatch:
 _register(
     TriBatch,
     ("inds", "Dlocal", "area", "weight", "mu", "lam", "limit_min", "limit_max", "gather_idx"),
-    ("model",),
+    ("model", "stencil"),
 )
 
 
@@ -348,6 +352,12 @@ def build_tri_batch(
     k = lame.bulk_modulus()
     weight = np.sqrt(k * area)
     T = tris.shape[0]
+    stencil = None
+    if not os.environ.get("ADMM_TPU_NO_STENCIL"):
+        from admm_elastic_tpu.ops import stencil as stencil_mod
+
+        stencil = stencil_mod.verify_tri_grid(tris, base=vertex_offset,
+                                              n_local_verts=len(verts))
     return TriBatch(
         inds=jnp.asarray(tris + vertex_offset, dtype=np.int32),
         Dlocal=jnp.asarray(Dlocal, dtype=dtype),
@@ -358,6 +368,7 @@ def build_tri_batch(
         limit_min=jnp.full((T,), lame.limit_min, dtype=dtype),
         limit_max=jnp.full((T,), lame.limit_max, dtype=dtype),
         model="linear",
+        stencil=stencil,
     )
 
 

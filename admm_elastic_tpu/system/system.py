@@ -68,7 +68,10 @@ def Dx(system: System, x):
         else:
             out.append(red.tet_Dx_rows(x, b.inds, b.Dlocal))
     for b in system.tris:
-        out.append(red.tri_Dx_rows(x, b.inds, b.Dlocal))
+        if b.stencil is not None:
+            out.append(stencil_mod.tri_Dx_rows(x, b.stencil, b.Dlocal))
+        else:
+            out.append(red.tri_Dx_rows(x, b.inds, b.Dlocal))
     if system.pins is not None:
         out.append(red.pin_Dx(x, system.pins.idx))
     return out
@@ -103,7 +106,12 @@ def DtW2(system: System, g_list):
         i += 1
     for b in system.tris:
         w2 = (b.weight * b.weight)[None, :]  # rows layout [6, T]
-        parts.append(red.tri_Dt_rows(w2 * g_list[i], b.inds, b.Dlocal, n, b.gather_idx))
+        if b.stencil is not None:
+            parts.append(stencil_mod.tri_Dt_rows(w2 * g_list[i], b.stencil,
+                                                 b.Dlocal, n))
+        else:
+            parts.append(red.tri_Dt_rows(w2 * g_list[i], b.inds, b.Dlocal, n,
+                                         b.gather_idx))
         i += 1
     if system.pins is not None:
         w2 = (system.pins.weight * system.pins.weight)[:, None]
