@@ -1,32 +1,52 @@
-"""Gather-free D / D^T for structured (lattice) tet meshes.
+"""Gather-free, lane-major D / D^T for structured (lattice/sheet) meshes.
 
 XLA:TPU executes arbitrary-index gathers at ~3 GB/s (DESIGN.md r3
 "Measurement methodology"), which makes the element pipeline's two
 gathers — x[inds] in D x and the vertex gather-table in D^T — the cost
 floor of the ADMM local step and rhs at large mesh sizes. For lattice
 meshes (make_tet_blocks: nx*ny*nz cells, 5 tets each, parity-alternating
-corner patterns — the reference's own beam/box generator, and the class
-every large benchmark scene belongs to) both maps are STENCILS:
+corner patterns — the reference's own beam/box generator) and regular
+cloth sheets both maps are STENCILS: every element corner sits at a
+constant grid offset from its cell, so D and D^T are pure shifted
+streams.
 
-- every tet corner sits at a constant (di,dj,dk) in {0,1}^3 from its
-  cell origin, so x[inds] is 8 static slices of the [X,Y,Z,3] vertex
-  grid blended by the cell parity mask;
-- D^T's scatter-add accumulates each cell's corner contributions into
-  the 8 shifted slices, i.e. 8 padded adds.
+v2 (lane-major): the first stencil implementation computed on
+[nx, ny, nz, 3]-shaped grids whose trailing dims waste ~97% of each
+(8, 128) vector tile — measured 1.25 ms for D^T W^2 at 160k tets where
+the traffic supports ~30 us (global_lab3). This version keeps EVERYTHING
+on [k, cells]-shaped arrays with the flat cell axis on lanes, the same
+layout that runs the banded SpMV at ~871 GB/s (ops/spmv.py):
 
-Zero gathers, zero scatters — pure streamed elementwise work.
+- elements of a stencil family are reordered SLOT-MAJOR over a cell grid
+  EMBEDDED AT VERTEX PITCH: element t = slot * X*Y*Z + p where
+  p = ci*Y*Z + cj*Z + ck. Cells with ci=nx / cj=ny / ck=nz do not exist;
+  those lanes are DEAD elements (weight 0, Dlocal 0, volume 0) padded in
+  at build so that a cell's corner (di,dj,dk) is always the vertex at
+  flat offset di*Y*Z + dj*Z + dk — a constant 1-D shift;
+- D x is then 8 static slices of the padded [3, XYZ] vertex stream
+  blended by a flat parity mask, contracted against per-slot Dlocal
+  row fields [5, 4, 3, XYZ];
+- D^T is the transposed contraction + 8 shifted (padded) adds.
+
+Zero gathers, zero scatters, full lanes. Dead lanes are made inert
+end-to-end: D x injects an identity F into them (so prox/energy stay in
+the hyperelastic domain), their weight/volume are 0 (so D^T W^2, the
+assembled A, and energies never see them), and their `inds` are spread
+cyclically over the family's vertices (so the gather-table fallback and
+assembly stay well-shaped without concentrating pad rows on vertex 0).
 
 The pattern is DETECTED from the actual index array at build time
-(verify_lattice): the mesh factory's claimed dims are checked against
-inds, so a user-permuted or hand-edited mesh silently falls back to the
-gather path. The stencil and gather paths are exactly equal in exact
-arithmetic (same per-element contractions, different addressing); f32/f64
-summation order differs only in D^T where a vertex's incident corners
-accumulate in corner-major instead of table order.
+(verify_lattice / verify_tri_grid); a user-permuted or hand-edited mesh
+falls back to the gather path. Stencil and gather paths are exactly
+equal in exact arithmetic on live lanes (same per-element contractions,
+different addressing); f32/f64 summation order differs only in D^T where
+a vertex's incident corners accumulate in corner-major instead of table
+order.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from itertools import product
 from typing import Optional, Tuple
 
@@ -87,35 +107,157 @@ def verify_lattice(inds: np.ndarray, dims: Tuple[int, int, int],
     return (int(base), X, Y, Z, pats[0], pats[1])
 
 
-def _parity_grid(nx, ny, nz, dtype):
-    ci = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), 0)
-    cj = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), 1)
-    ck = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), 2)
-    return ((ci + cj + ck) % 2 == 0)
+# ---------------------------------------------------------------------------
+# Host-side flat plan (element reorder + static fields)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FlatPlan:
+    """Host plan mapping a detected stencil family to its flat layout.
+
+    src: i64 [T_cap] — original element index per new slot-major element,
+      -1 for dead (padded) lanes.
+    dead: bool [cells] — True on embedded cells that do not exist.
+    par: f64 [cells] — 1.0 on even-parity cells (tets; all-ones for tris).
+    dl_shape: the [S, arity, cols, cells] shape of the Dlocal row fields.
+    """
+
+    src: np.ndarray
+    dead: np.ndarray
+    par: np.ndarray
+    n_slots: int
+    arity: int
+    cols: int
+
+    @property
+    def t_cap(self) -> int:
+        return self.src.shape[0]
+
+    def take(self, a: np.ndarray, fill=0.0) -> np.ndarray:
+        """Permute a per-element array into flat order, filling dead lanes."""
+        a = np.asarray(a)
+        out = np.full((self.t_cap,) + a.shape[1:], fill, dtype=a.dtype)
+        live = self.src >= 0
+        out[live] = a[self.src[live]]
+        return out
+
+    def dl_rows(self, Dlocal: np.ndarray) -> np.ndarray:
+        """[T, arity, cols] -> [S, arity, cols, cells] lane-major fields."""
+        d = self.take(np.asarray(Dlocal, np.float64))
+        cells = self.t_cap // self.n_slots
+        return np.ascontiguousarray(
+            d.reshape(self.n_slots, cells, self.arity, self.cols)
+            .transpose(0, 2, 3, 1))
+
+    def spread_inds(self, inds: np.ndarray, n_local: int,
+                    base: int) -> np.ndarray:
+        """Flat-order global inds; dead lanes cycle over the family's
+        vertices so no single vertex collects all pad corners (keeps the
+        gather-table fallback's K bounded)."""
+        arity = inds.shape[1]
+        out = self.take(np.asarray(inds, np.int64) + base, fill=0)
+        dead_rows = np.nonzero(self.src < 0)[0]
+        if dead_rows.size:
+            spread = (dead_rows[:, None] * arity
+                      + np.arange(arity)[None, :]) % n_local + base
+            out[dead_rows] = spread
+        return out
 
 
-def tet_Dx_rows(x, meta: StencilMeta, Dlocal):
-    """Stencil equivalent of reduction.tet_Dx_rows -> [9, T]."""
+def tet_flat_plan(meta: StencilMeta) -> FlatPlan:
     base, X, Y, Z, pe, po = meta
     nx, ny, nz = X - 1, Y - 1, Z - 1
-    xg = x[base:base + X * Y * Z].reshape(X, Y, Z, 3)
-    corners = [xg[di:di + nx, dj:dj + ny, dk:dk + nz, :]
-               for (di, dj, dk) in _CORNERS]
-    par = _parity_grid(nx, ny, nz, x.dtype)[..., None]
-    # Per (slot, corner_j) vertex positions [nx,ny,nz,3].
-    x4 = [[(corners[pe[s][j]] if pe[s][j] == po[s][j]
-            else jnp.where(par, corners[pe[s][j]], corners[po[s][j]]))
-           for j in range(4)] for s in range(5)]
-    dlg = Dlocal.reshape(nx, ny, nz, 5, 4, 3)
+    ci, cj, ck = np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z),
+                             indexing="ij")
+    live = (ci < nx) & (cj < ny) & (ck < nz)
+    cells = X * Y * Z
+    # Original order: t = ((ci*ny + cj)*nz + ck)*5 + s (cell-major).
+    cell_id = (ci * ny + cj) * nz + ck
+    src_cell = np.where(live, cell_id, -1).reshape(-1)  # [cells]
+    src = np.empty((5 * cells,), np.int64)
+    for s in range(5):
+        src[s * cells:(s + 1) * cells] = np.where(
+            src_cell >= 0, src_cell * 5 + s, -1)
+    par = ((ci + cj + ck) % 2 == 0).astype(np.float64).reshape(-1)
+    return FlatPlan(src=src, dead=~live.reshape(-1), par=par,
+                    n_slots=5, arity=4, cols=3)
+
+
+def _tet_geom(meta: StencilMeta):
+    base, X, Y, Z, pe, po = meta
+    YZ = Y * Z
+    cells = X * YZ
+    offs = tuple(di * YZ + dj * Z + dk for (di, dj, dk) in _CORNERS)
+    return base, cells, offs, pe, po
+
+
+def tet_Dx_rows(x, b):
+    """Flat-stencil D x -> SoA rows [9, T_cap] (slot-major element order).
+
+    Dead lanes receive an identity F so prox/energy stay well-defined;
+    their weight/volume are 0 so they never influence the solve.
+    """
+    base, cells, offs, pe, po = _tet_geom(b.stencil)
+    maxd = max(offs)
+    xT = x[base:base + cells].T  # [3, cells] — lane-major stream
+    xp = jnp.pad(xT, ((0, 0), (0, maxd)))
+    xc = [jax.lax.slice_in_dim(xp, d, d + cells, axis=1) for d in offs]
+    par = b.st_par  # [cells], 1.0 on even cells
+    inv = 1.0 - par
+    dl = b.st_dl  # [5, 4, 3, cells]
+    dead = b.st_dead  # [cells], 1.0 on dead lanes
+    xsel = [[(xc[pe[s][j]] if pe[s][j] == po[s][j]
+              else par * xc[pe[s][j]] + inv * xc[po[s][j]])
+             for j in range(4)] for s in range(5)]
     rows = []
     for r in range(3):
         for c in range(3):
             per_slot = [
-                sum(x4[s][j][..., r] * dlg[..., s, j, c] for j in range(4))
+                sum(xsel[s][j][r] * dl[s, j, c] for j in range(4))
                 for s in range(5)
             ]
-            rows.append(jnp.stack(per_slot, axis=-1).reshape(-1))
-    return jnp.stack(rows, axis=0)
+            if r == c:
+                per_slot = [ps + dead for ps in per_slot]
+            rows.append(jnp.stack(per_slot, axis=0))  # [5, cells]
+    return jnp.stack(rows, axis=0).reshape(9, -1)
+
+
+def tet_Dt_rows(G_rows, b, n_verts):
+    """Flat-stencil D^T G from SoA rows [9, T_cap] -> [N, 3].
+
+    Callers pre-multiply G by w^2, which is 0 on dead lanes, so no
+    live-masking is needed here.
+    """
+    base, cells, offs, pe, po = _tet_geom(b.stencil)
+    maxd = max(offs)
+    g = G_rows.reshape(3, 3, 5, cells)
+    dl = b.st_dl
+    par = b.st_par
+    inv = 1.0 - par
+    acc = [None] * 8
+    for s in range(5):
+        for j in range(4):
+            contrib = jnp.stack([
+                sum(g[r, c, s] * dl[s, j, c] for c in range(3))
+                for r in range(3)
+            ], axis=0)  # [3, cells]
+            he, ho = pe[s][j], po[s][j]
+            if he == ho:
+                acc[he] = contrib if acc[he] is None else acc[he] + contrib
+            else:
+                e = par * contrib
+                o = inv * contrib
+                acc[he] = e if acc[he] is None else acc[he] + e
+                acc[ho] = o if acc[ho] is None else acc[ho] + o
+    out = jnp.zeros((3, cells + maxd), dtype=G_rows.dtype)
+    for cid, d in enumerate(offs):
+        if acc[cid] is None:
+            continue
+        out = out + jnp.pad(acc[cid], ((0, 0), (d, maxd - d)))
+    outT = out[:, :cells].T  # [cells, 3] = the family's vertex block
+    if base == 0 and cells == n_verts:
+        return outT
+    return jnp.pad(outT, ((base, n_verts - base - cells), (0, 0)))
 
 
 # ---------------------------------------------------------------------------
@@ -123,25 +265,23 @@ def tet_Dx_rows(x, meta: StencilMeta, Dlocal):
 # ---------------------------------------------------------------------------
 #
 # Regular cloth sheets (matrix.py _cloth_solver, ref_driver model 3,
-# geometry.factory.make_plane) triangulate an (n_s x n_f)-cell vertex grid
-# with a CONSTANT per-slot corner pattern — no parity alternation, so the
-# meta is even simpler than the tet lattice. Unlike the tet path the grid
-# is DETECTED with no factory hint: the fast-axis pitch G1 is inferred
+# geometry.factory.make_plane) triangulate a vertex grid with a CONSTANT
+# per-slot corner pattern — no parity alternation. Unlike the tet path the
+# grid is DETECTED with no factory hint: the fast-axis pitch G1 is inferred
 # from the first triangles' index differences and every candidate is fully
 # verified against all T index rows, so a false positive is impossible
 # (the checks *are* the addressing equivalence).
 
-# meta: (base, G0, G1, slow_major, pats) — vertex grid [G0, G1] with
-# vid = slow * G1 + fast; slow_major = whether cells enumerate with the
-# slow axis outermost; pats an S x 3 tuple of corner ids (da * 2 + db in
-# the enumeration-order axes).
-TriStencilMeta = Tuple[int, int, int, bool, tuple]
+# meta: (base, G0, G1, pats) — vertex grid [G0, G1] with
+# vid = slow * G1 + fast; pats an S x 3 tuple of corner ids ds * 2 + df
+# in (slow, fast) axes. The flat layout always embeds cells at vertex
+# pitch p = cs * G1 + cf regardless of the original enumeration order.
+TriStencilMeta = Tuple[int, int, int, tuple]
 
-_CORNERS2 = ((0, 0), (0, 1), (1, 0), (1, 1))
+_CORNERS2 = ((0, 0), (0, 1), (1, 0), (1, 1))  # (ds, df), id = ds*2 + df
 
 
-def _check_tri_grid(inds: np.ndarray, v: int, g1: int,
-                    base: int) -> Optional[TriStencilMeta]:
+def _check_tri_grid(inds: np.ndarray, v: int, g1: int, base: int):
     g0 = v // g1
     if g0 < 2 or g1 < 2:
         return None
@@ -160,19 +300,19 @@ def _check_tri_grid(inds: np.ndarray, v: int, g1: int,
     cell = np.arange(t) // s_cnt
     slot = np.arange(t) % s_cnt
     if (cs == cell // n_f).all() and (cf == cell % n_f).all():
-        slow_major, da, db = True, ds, df
+        pass  # slow-major enumeration
     elif (cf == cell // n_s).all() and (cs == cell % n_s).all():
-        slow_major, da, db = False, df, ds
+        pass  # fast-major enumeration
     else:
         return None
-    corner = da * 2 + db  # [T, 3] in enumeration-order axes
+    corner = ds * 2 + df  # [T, 3] in (slow, fast) axes
     pats = []
     for s in range(s_cnt):
         rows = corner[slot == s]
         if rows.shape[0] == 0 or not (rows == rows[0]).all():
             return None
         pats.append(tuple(int(x) for x in rows[0]))
-    return (int(base), g0, g1, slow_major, tuple(pats))
+    return (int(base), g0, g1, tuple(pats))
 
 
 def verify_tri_grid(inds: np.ndarray, base: int = 0,
@@ -202,86 +342,85 @@ def verify_tri_grid(inds: np.ndarray, base: int = 0,
     return None
 
 
-def tri_Dx_rows(x, meta: TriStencilMeta, Dlocal):
-    """Stencil equivalent of reduction.tri_Dx_rows -> [6, T]."""
-    base, g0, g1, slow_major, pats = meta
-    xg = x[base:base + g0 * g1].reshape(g0, g1, 3)
-    if not slow_major:
-        xg = xg.transpose(1, 0, 2)
-    na, nb = xg.shape[0] - 1, xg.shape[1] - 1
-    corners = [xg[da:da + na, db:db + nb, :] for (da, db) in _CORNERS2]
+def tri_flat_plan(inds: np.ndarray, meta: TriStencilMeta) -> FlatPlan:
+    """Flat plan for a sheet: slot-major over cells at vertex pitch G1.
+
+    The original element order (slow- or fast-major cell enumeration) is
+    recovered from the index array itself, so src is exact either way.
+    """
+    base, g0, g1, pats = meta
     s_cnt = len(pats)
-    dlg = Dlocal.reshape(na, nb, s_cnt, 3, 2)
+    n_s, n_f = g0 - 1, g1 - 1
+    inds = np.asarray(inds)
+    slow, fast = inds // g1, inds % g1
+    cs, cf = slow.min(axis=1), fast.min(axis=1)
+    # Original element t sits at embedded cell p and slot t % s_cnt.
+    p_orig = cs * g1 + cf  # [T]
+    slot_orig = np.arange(inds.shape[0]) % s_cnt
+    cells = g0 * g1
+    src = np.full((s_cnt * cells,), -1, np.int64)
+    src[slot_orig * cells + p_orig] = np.arange(inds.shape[0])
+    a, bb = np.meshgrid(np.arange(g0), np.arange(g1), indexing="ij")
+    live = (a < n_s) & (bb < n_f)
+    return FlatPlan(src=src, dead=~live.reshape(-1),
+                    par=np.ones((cells,), np.float64),
+                    n_slots=s_cnt, arity=3, cols=2)
+
+
+def _tri_geom(meta: TriStencilMeta):
+    base, g0, g1, pats = meta
+    cells = g0 * g1
+    offs = tuple(ds * g1 + df for (ds, df) in _CORNERS2)
+    return base, cells, offs, pats
+
+
+def tri_Dx_rows(x, b):
+    """Flat-stencil D x for a sheet -> SoA rows [6, T_cap].
+
+    Dead lanes receive the identity 3x2 F (rows 0 and 3 = 1)."""
+    base, cells, offs, pats = _tri_geom(b.stencil)
+    s_cnt = len(pats)
+    maxd = max(offs)
+    xT = x[base:base + cells].T  # [3, cells]
+    xp = jnp.pad(xT, ((0, 0), (0, maxd)))
+    xc = [jax.lax.slice_in_dim(xp, d, d + cells, axis=1) for d in offs]
+    dl = b.st_dl  # [S, 3, 2, cells]
+    dead = b.st_dead
     rows = []
     for r in range(3):
         for c in range(2):
             per_slot = [
-                sum(corners[pats[s][j]][..., r] * dlg[..., s, j, c]
-                    for j in range(3))
+                sum(xc[pats[s][j]][r] * dl[s, j, c] for j in range(3))
                 for s in range(s_cnt)
             ]
-            rows.append(jnp.stack(per_slot, axis=-1).reshape(-1))
-    return jnp.stack(rows, axis=0)
+            if (r, c) in ((0, 0), (1, 1)):
+                per_slot = [ps + dead for ps in per_slot]
+            rows.append(jnp.stack(per_slot, axis=0))
+    return jnp.stack(rows, axis=0).reshape(6, -1)
 
 
-def tri_Dt_rows(G_rows, meta: TriStencilMeta, Dlocal, n_verts):
-    """Stencil equivalent of reduction.tri_Dt_rows -> [N, 3]."""
-    base, g0, g1, slow_major, pats = meta
-    na, nb = (g0 - 1, g1 - 1) if slow_major else (g1 - 1, g0 - 1)
+def tri_Dt_rows(G_rows, b, n_verts):
+    """Flat-stencil D^T G from SoA rows [6, T_cap] -> [N, 3]."""
+    base, cells, offs, pats = _tri_geom(b.stencil)
     s_cnt = len(pats)
-    dlg = Dlocal.reshape(na, nb, s_cnt, 3, 2)
-    g = G_rows.reshape(3, 2, na, nb, s_cnt)
-    contrib = [[jnp.stack([
-        sum(g[r, c, ..., s] * dlg[..., s, j, c] for c in range(2))
-        for r in range(3)], axis=-1) for j in range(3)] for s in range(s_cnt)]
-    out = jnp.zeros((na + 1, nb + 1, 3), dtype=G_rows.dtype)
-    for cid, (da, db) in enumerate(_CORNERS2):
-        acc = None
-        for s in range(s_cnt):
-            for j in range(3):
-                if pats[s][j] != cid:
-                    continue
-                acc = contrib[s][j] if acc is None else acc + contrib[s][j]
-        if acc is None:
+    maxd = max(offs)
+    g = G_rows.reshape(3, 2, s_cnt, cells)
+    dl = b.st_dl
+    acc = [None] * 4
+    for s in range(s_cnt):
+        for j in range(3):
+            contrib = jnp.stack([
+                sum(g[r, c, s] * dl[s, j, c] for c in range(2))
+                for r in range(3)
+            ], axis=0)  # [3, cells]
+            cid = pats[s][j]
+            acc[cid] = contrib if acc[cid] is None else acc[cid] + contrib
+    out = jnp.zeros((3, cells + maxd), dtype=G_rows.dtype)
+    for cid, d in enumerate(offs):
+        if acc[cid] is None:
             continue
-        out = out + jnp.pad(acc, ((da, 1 - da), (db, 1 - db), (0, 0)))
-    if not slow_major:
-        out = out.transpose(1, 0, 2)
-    out = out.reshape(-1, 3)
-    if base == 0 and out.shape[0] == n_verts:
-        return out
-    return jnp.pad(out, ((base, n_verts - base - out.shape[0]), (0, 0)))
-
-
-def tet_Dt_rows(G_rows, meta: StencilMeta, Dlocal, n_verts):
-    """Stencil equivalent of reduction.tet_Dt_rows -> [N, 3]."""
-    base, X, Y, Z, pe, po = meta
-    nx, ny, nz = X - 1, Y - 1, Z - 1
-    dlg = Dlocal.reshape(nx, ny, nz, 5, 4, 3)
-    g = G_rows.reshape(3, 3, nx, ny, nz, 5)  # [r, c, ...grid..., slot]
-    par = _parity_grid(nx, ny, nz, G_rows.dtype)[..., None]
-    # contrib[s][j] [nx,ny,nz,3]: sum_c G[r,c] * Dl[s,j,c] stacked over r.
-    contrib = [[jnp.stack([
-        sum(g[r, c, ..., s] * dlg[..., s, j, c] for c in range(3))
-        for r in range(3)], axis=-1) for j in range(4)] for s in range(5)]
-    out = jnp.zeros((X, Y, Z, 3), dtype=G_rows.dtype)
-    for cid, (di, dj, dk) in enumerate(_CORNERS):
-        acc = None
-        for s in range(5):
-            for j in range(4):
-                he, ho = pe[s][j] == cid, po[s][j] == cid
-                if not (he or ho):
-                    continue
-                term = contrib[s][j]
-                if not (he and ho):
-                    term = jnp.where(par if he else ~par, term, 0.0)
-                acc = term if acc is None else acc + term
-        if acc is None:
-            continue
-        pad = ((di, X - nx - di), (dj, Y - ny - dj), (dk, Z - nz - dk),
-               (0, 0))
-        out = out + jnp.pad(acc, pad)
-    out = out.reshape(-1, 3)
-    if base == 0 and out.shape[0] == n_verts:
-        return out
-    return jnp.pad(out, ((base, n_verts - base - out.shape[0]), (0, 0)))
+        out = out + jnp.pad(acc[cid], ((0, 0), (d, maxd - d)))
+    outT = out[:, :cells].T
+    if base == 0 and cells == n_verts:
+        return outT
+    return jnp.pad(outT, ((base, n_verts - base - cells), (0, 0)))

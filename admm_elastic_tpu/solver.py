@@ -614,14 +614,16 @@ class Solver:
         # scatter-add poorly on TPU, a gather+sum over static topology wins).
         from admm_elastic_tpu.ops import reduction as red
 
+        # Flat-stencil families never take the gather D^T path, so their
+        # (large) vertex->corner tables are skipped entirely.
         tets = tuple(
-            dataclasses.replace(
+            b if b.stencil is not None else dataclasses.replace(
                 b, gather_idx=jnp.asarray(red.build_gather_table(np.asarray(b.inds), n))
             )
             for b in tets
         )
         tris = tuple(
-            dataclasses.replace(
+            b if b.stencil is not None else dataclasses.replace(
                 b, gather_idx=jnp.asarray(red.build_gather_table(np.asarray(b.inds), n))
             )
             for b in tris
@@ -764,7 +766,7 @@ class Solver:
         )
 
         if s.verbose >= 1:
-            n_terms = sum(b.n for b in tets) + sum(b.n for b in tris)
+            n_terms = sum(b.n_real for b in tets) + sum(b.n_real for b in tris)
             n_terms += pins_batch.n if pins_batch is not None else 0
             print(f"{n} nodes, {n_terms} energy terms")
         self.initialized = True

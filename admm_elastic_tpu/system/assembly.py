@@ -48,11 +48,16 @@ def _coo_entries(system) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     if not rows:
         z = np.zeros((0,), dtype=np.int64)
         return z, z, np.zeros((0,), dtype=np.float64)
-    return (
-        np.concatenate(rows).astype(np.int64),
-        np.concatenate(cols).astype(np.int64),
-        np.concatenate(vals),
-    )
+    r = np.concatenate(rows).astype(np.int64)
+    c = np.concatenate(cols).astype(np.int64)
+    v = np.concatenate(vals)
+    # Exact zeros carry no coupling. Dead (padded) lanes of flat-stencil
+    # families (ops/stencil.py) have weight 0 and spread inds; dropping
+    # their zero entries keeps the ELL width, the vertex adjacency (GS
+    # coloring, two-grid aggregation), and the band plan free of
+    # artificial fill.
+    keep = v != 0.0
+    return r[keep], c[keep], v[keep]
 
 
 def assemble_dense(system) -> np.ndarray:

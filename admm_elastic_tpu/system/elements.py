@@ -70,14 +70,28 @@ class TetBatch:
     # (ops.reduction.build_gather_table), attached at Solver.initialize when
     # the global vertex count is known. None -> scatter-add fallback.
     gather_idx: Optional[jax.Array] = None
+    # Flat-stencil static fields (ops/stencil.py v2): per-slot Dlocal row
+    # fields [5, 4, 3, cells], parity mask [cells] and dead-lane mask
+    # [cells] (1.0 on padded lanes). Set only when `stencil` is set; the
+    # element order is then slot-major over vertex-pitch-embedded cells
+    # and n == 5 * cells >= n_live.
+    st_dl: Optional[jax.Array] = None
+    st_par: Optional[jax.Array] = None
+    st_dead: Optional[jax.Array] = None
     model: str = "linear"  # static
     # Structured-lattice stencil meta (ops/stencil.py StencilMeta) or
     # None; static. When set, D/D^T skip the (slow) gathers entirely.
     stencil: Optional[tuple] = None
+    # Number of REAL elements (excludes flat-stencil dead lanes).
+    n_live: Optional[int] = None
 
     @property
     def n(self) -> int:
         return self.inds.shape[0]
+
+    @property
+    def n_real(self) -> int:
+        return self.n_live if self.n_live is not None else self.n
 
     @property
     def bulk(self):
@@ -162,7 +176,10 @@ class TetBatch:
         )
 
 
-_register(TetBatch, ("inds", "Dlocal", "vol", "weight", "mu", "lam", "kappa", "gather_idx"), ("model", "stencil"))
+_register(TetBatch,
+          ("inds", "Dlocal", "vol", "weight", "mu", "lam", "kappa",
+           "gather_idx", "st_dl", "st_par", "st_dead"),
+          ("model", "stencil", "n_live"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,15 +195,24 @@ class TriBatch:
     limit_min: jax.Array  # [T]
     limit_max: jax.Array  # [T]
     gather_idx: Optional[jax.Array] = None  # see TetBatch.gather_idx
+    # Flat-stencil fields, see TetBatch: [S, 3, 2, cells] Dlocal rows and
+    # the dead-lane mask [cells] (sheets have no parity field).
+    st_dl: Optional[jax.Array] = None
+    st_dead: Optional[jax.Array] = None
     model: str = "linear"
     # Regular-sheet stencil meta (ops/stencil.py TriStencilMeta) or None;
     # static. Auto-detected from the index array at build (no factory
     # hint): cloth grids make D/D^T pure streamed slices.
     stencil: Optional[tuple] = None
+    n_live: Optional[int] = None  # real elements (excludes dead lanes)
 
     @property
     def n(self) -> int:
         return self.inds.shape[0]
+
+    @property
+    def n_real(self) -> int:
+        return self.n_live if self.n_live is not None else self.n
 
     @property
     def bulk(self):
@@ -227,8 +253,9 @@ class TriBatch:
 
 _register(
     TriBatch,
-    ("inds", "Dlocal", "area", "weight", "mu", "lam", "limit_min", "limit_max", "gather_idx"),
-    ("model", "stencil"),
+    ("inds", "Dlocal", "area", "weight", "mu", "lam", "limit_min",
+     "limit_max", "gather_idx", "st_dl", "st_dead"),
+    ("model", "stencil", "n_live"),
 )
 
 
@@ -303,6 +330,33 @@ def build_tet_batch(
 
         stencil = stencil_mod.verify_lattice(tets, lattice_dims,
                                              base=vertex_offset)
+    if stencil is not None:
+        # Flat-stencil layout (ops/stencil.py v2): elements reordered
+        # slot-major over vertex-pitch-embedded cells; dead lanes are
+        # weight/volume/Dlocal zero (inert in D^T W^2, A, and energies)
+        # with live material parameters (so the identity F injected by the
+        # stencil D x keeps their prox at its fixed point).
+        from admm_elastic_tpu.ops import stencil as stencil_mod
+
+        plan = stencil_mod.tet_flat_plan(stencil)
+        t_cap = plan.t_cap
+        return TetBatch(
+            inds=jnp.asarray(
+                plan.spread_inds(tets, verts.shape[0], vertex_offset),
+                dtype=np.int32),
+            Dlocal=jnp.asarray(plan.take(Dlocal), dtype=dtype),
+            vol=jnp.asarray(plan.take(vol), dtype=dtype),
+            weight=jnp.asarray(plan.take(weight), dtype=dtype),
+            mu=jnp.full((t_cap,), lame.mu, dtype=dtype),
+            lam=jnp.full((t_cap,), lame.lam, dtype=dtype),
+            kappa=jnp.full((t_cap,), kappa, dtype=dtype),
+            st_dl=jnp.asarray(plan.dl_rows(Dlocal), dtype=dtype),
+            st_par=jnp.asarray(plan.par, dtype=dtype),
+            st_dead=jnp.asarray(plan.dead.astype(np.float64), dtype=dtype),
+            model=model,
+            stencil=stencil,
+            n_live=T,
+        )
     return TetBatch(
         inds=jnp.asarray(tets + vertex_offset, dtype=np.int32),
         Dlocal=jnp.asarray(Dlocal, dtype=dtype),
@@ -358,6 +412,33 @@ def build_tri_batch(
 
         stencil = stencil_mod.verify_tri_grid(tris, base=vertex_offset,
                                               n_local_verts=len(verts))
+    if stencil is not None:
+        # Flat-stencil layout, see build_tet_batch. Material params and
+        # strain limits are family-uniform, so dead lanes get the same
+        # (benign) values: the identity F injected by the stencil D x
+        # satisfies limit_min <= 1 <= limit_max, keeping their prox at its
+        # fixed point.
+        from admm_elastic_tpu.ops import stencil as stencil_mod
+
+        plan = stencil_mod.tri_flat_plan(tris, stencil)
+        t_cap = plan.t_cap
+        return TriBatch(
+            inds=jnp.asarray(
+                plan.spread_inds(tris, len(verts), vertex_offset),
+                dtype=np.int32),
+            Dlocal=jnp.asarray(plan.take(Dlocal), dtype=dtype),
+            area=jnp.asarray(plan.take(area), dtype=dtype),
+            weight=jnp.asarray(plan.take(weight), dtype=dtype),
+            mu=jnp.full((t_cap,), lame.mu, dtype=dtype),
+            lam=jnp.full((t_cap,), lame.lam, dtype=dtype),
+            limit_min=jnp.full((t_cap,), lame.limit_min, dtype=dtype),
+            limit_max=jnp.full((t_cap,), lame.limit_max, dtype=dtype),
+            st_dl=jnp.asarray(plan.dl_rows(Dlocal), dtype=dtype),
+            st_dead=jnp.asarray(plan.dead.astype(np.float64), dtype=dtype),
+            model="linear",
+            stencil=stencil,
+            n_live=T,
+        )
     return TriBatch(
         inds=jnp.asarray(tris + vertex_offset, dtype=np.int32),
         Dlocal=jnp.asarray(Dlocal, dtype=dtype),

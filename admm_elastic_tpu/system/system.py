@@ -64,12 +64,12 @@ def Dx(system: System, x):
     out = []
     for b in system.tets:
         if b.stencil is not None:
-            out.append(stencil_mod.tet_Dx_rows(x, b.stencil, b.Dlocal))
+            out.append(stencil_mod.tet_Dx_rows(x, b))
         else:
             out.append(red.tet_Dx_rows(x, b.inds, b.Dlocal))
     for b in system.tris:
         if b.stencil is not None:
-            out.append(stencil_mod.tri_Dx_rows(x, b.stencil, b.Dlocal))
+            out.append(stencil_mod.tri_Dx_rows(x, b))
         else:
             out.append(red.tri_Dx_rows(x, b.inds, b.Dlocal))
     if system.pins is not None:
@@ -98,8 +98,7 @@ def DtW2(system: System, g_list):
     for b in system.tets:
         w2 = (b.weight * b.weight)[None, :]  # rows layout [9, T]
         if b.stencil is not None:
-            parts.append(stencil_mod.tet_Dt_rows(w2 * g_list[i], b.stencil,
-                                                 b.Dlocal, n))
+            parts.append(stencil_mod.tet_Dt_rows(w2 * g_list[i], b, n))
         else:
             parts.append(red.tet_Dt_rows(w2 * g_list[i], b.inds, b.Dlocal, n,
                                          b.gather_idx))
@@ -107,8 +106,7 @@ def DtW2(system: System, g_list):
     for b in system.tris:
         w2 = (b.weight * b.weight)[None, :]  # rows layout [6, T]
         if b.stencil is not None:
-            parts.append(stencil_mod.tri_Dt_rows(w2 * g_list[i], b.stencil,
-                                                 b.Dlocal, n))
+            parts.append(stencil_mod.tri_Dt_rows(w2 * g_list[i], b, n))
         else:
             parts.append(red.tri_Dt_rows(w2 * g_list[i], b.inds, b.Dlocal, n,
                                          b.gather_idx))

@@ -1,10 +1,18 @@
-"""Gather-free stencil D/D^T for lattice meshes: detection + exactness."""
+"""Gather-free flat-stencil D/D^T for lattice meshes: detection + exactness.
+
+The flat stencil (ops/stencil.py v2) reorders elements slot-major over
+vertex-pitch-embedded cells and pads dead lanes; exactness is checked
+against the gather path through the FlatPlan.src element map, and
+end-to-end by trajectory equality of stencil vs forced-gather solvers.
+"""
 
 import numpy as np
 
 from admm_elastic_tpu.geometry.factory import make_tet_blocks
+from admm_elastic_tpu.materials import Lame
 from admm_elastic_tpu.ops import reduction as red
 from admm_elastic_tpu.ops import stencil
+from admm_elastic_tpu.system import elements as el
 
 
 def test_verify_lattice_detects_and_rejects():
@@ -21,52 +29,84 @@ def test_verify_lattice_detects_and_rejects():
     assert stencil.verify_lattice(mesh.tets, (3, 4, 2)) is None
 
 
-def test_stencil_dx_dt_match_gather():
+def _tet_batches(nx, ny, nz, off=0, n_extra=0, seed=1):
+    """(flat-stencil batch, gather batch, plan, x, n_total) for one lattice."""
+    mesh = make_tet_blocks(nx, ny, nz)
+    lame = Lame.soft_rubber()
+    flat = el.build_tet_batch(mesh.vertices, mesh.tets, lame, "neohookean",
+                              vertex_offset=off, lattice_dims=mesh.lattice_dims)
+    ref = el.build_tet_batch(mesh.vertices, mesh.tets, lame, "neohookean",
+                             vertex_offset=off, lattice_dims=None)
+    assert flat.stencil is not None and ref.stencil is None
+    plan = stencil.tet_flat_plan(flat.stencil)
+    n_total = off + len(mesh.vertices) + n_extra
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n_total, 3))
+    return flat, ref, plan, x, n_total
+
+
+def test_flat_stencil_dx_matches_gather_and_injects_identity():
     import jax.numpy as jnp
 
-    mesh = make_tet_blocks(5, 4, 3)
-    meta = stencil.verify_lattice(mesh.tets, mesh.lattice_dims)
-    n = len(mesh.vertices)
-    t = len(mesh.tets)
-    rng = np.random.default_rng(1)
-    dlocal = jnp.asarray(rng.standard_normal((t, 4, 3)))
-    inds = jnp.asarray(mesh.tets, jnp.int32)
-    x = jnp.asarray(rng.standard_normal((n, 3)))
-
-    rows_ref = np.asarray(red.tet_Dx_rows(x, inds, dlocal))
-    rows_st = np.asarray(stencil.tet_Dx_rows(x, meta, dlocal))
-    np.testing.assert_allclose(rows_st, rows_ref, rtol=1e-12, atol=1e-12)
-
-    g = jnp.asarray(rng.standard_normal((9, t)))
-    gi = jnp.asarray(red.build_gather_table(mesh.tets, n))
-    dt_ref = np.asarray(red.tet_Dt_rows(g, inds, dlocal, n, gi))
-    dt_st = np.asarray(stencil.tet_Dt_rows(g, meta, dlocal, n))
-    np.testing.assert_allclose(dt_st, dt_ref, rtol=1e-12, atol=1e-12)
+    flat, ref, plan, x, _ = _tet_batches(5, 4, 3)
+    xd = jnp.asarray(x)
+    rows_flat = np.asarray(stencil.tet_Dx_rows(xd, flat))
+    rows_ref = np.asarray(red.tet_Dx_rows(xd, ref.inds, ref.Dlocal))
+    live = plan.src >= 0
+    np.testing.assert_allclose(rows_flat[:, live], rows_ref[:, plan.src[live]],
+                               rtol=1e-12, atol=1e-12)
+    # Dead lanes carry an identity F (rows 0/4/8 = 1, rest 0).
+    ident = np.zeros((9, int((~live).sum())))
+    ident[[0, 4, 8]] = 1.0
+    np.testing.assert_allclose(rows_flat[:, ~live], ident, atol=1e-15)
 
 
-def test_stencil_offset_family():
+def test_flat_stencil_dt_matches_gather():
+    import jax.numpy as jnp
+
+    flat, ref, plan, x, n = _tet_batches(5, 4, 3)
+    rng = np.random.default_rng(3)
+    g_ref = rng.standard_normal((9, ref.n))
+    g_flat = np.zeros((9, flat.n))
+    live = plan.src >= 0
+    g_flat[:, live] = g_ref[:, plan.src[live]]
+    gi = jnp.asarray(red.build_gather_table(np.asarray(ref.inds), n))
+    dt_ref = np.asarray(red.tet_Dt_rows(jnp.asarray(g_ref), ref.inds,
+                                        ref.Dlocal, n, gi))
+    dt_flat = np.asarray(stencil.tet_Dt_rows(jnp.asarray(g_flat), flat, n))
+    np.testing.assert_allclose(dt_flat, dt_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_flat_stencil_offset_family():
     """Second mesh staged at a vertex offset (boxes scene layout)."""
     import jax.numpy as jnp
 
-    mesh = make_tet_blocks(3, 2, 2)
-    off = 37
-    meta = stencil.verify_lattice(mesh.tets, mesh.lattice_dims, base=off)
-    n_total = off + len(mesh.vertices) + 11
-    tq = len(mesh.tets)
-    rng = np.random.default_rng(2)
-    dlocal = jnp.asarray(rng.standard_normal((tq, 4, 3)))
-    inds = jnp.asarray(mesh.tets + off, jnp.int32)
-    x = jnp.asarray(rng.standard_normal((n_total, 3)))
+    flat, ref, plan, x, n = _tet_batches(3, 2, 2, off=37, n_extra=11, seed=2)
+    xd = jnp.asarray(x)
+    live = plan.src >= 0
+    np.testing.assert_allclose(
+        np.asarray(stencil.tet_Dx_rows(xd, flat))[:, live],
+        np.asarray(red.tet_Dx_rows(xd, ref.inds, ref.Dlocal))[:, plan.src[live]],
+        rtol=1e-12, atol=1e-12)
+    rng = np.random.default_rng(4)
+    g_ref = rng.standard_normal((9, ref.n))
+    g_flat = np.zeros((9, flat.n))
+    g_flat[:, live] = g_ref[:, plan.src[live]]
+    np.testing.assert_allclose(
+        np.asarray(stencil.tet_Dt_rows(jnp.asarray(g_flat), flat, n)),
+        np.asarray(red.tet_Dt_rows(jnp.asarray(g_ref), ref.inds,
+                                   ref.Dlocal, n)),
+        rtol=1e-12, atol=1e-12)
 
-    np.testing.assert_allclose(
-        np.asarray(stencil.tet_Dx_rows(x, meta, dlocal)),
-        np.asarray(red.tet_Dx_rows(x, inds, dlocal)),
-        rtol=1e-12, atol=1e-12)
-    g = jnp.asarray(rng.standard_normal((9, tq)))
-    np.testing.assert_allclose(
-        np.asarray(stencil.tet_Dt_rows(g, meta, dlocal, n_total)),
-        np.asarray(red.tet_Dt_rows(g, inds, dlocal, n_total)),
-        rtol=1e-12, atol=1e-12)
+
+def test_flat_stencil_weights_dead_on_padded_lanes():
+    flat, ref, plan, _, _ = _tet_batches(4, 3, 2)
+    live = plan.src >= 0
+    w = np.asarray(flat.weight)
+    v = np.asarray(flat.vol)
+    assert (w[~live] == 0).all() and (v[~live] == 0).all()
+    assert (w[live] > 0).all()
+    assert flat.n_real == ref.n and flat.n == plan.t_cap
 
 
 def _grid_tris_imajor(nx, ny):
@@ -87,8 +127,8 @@ def test_verify_tri_grid_detects_and_rejects():
     tris, nv = _grid_tris_imajor(5, 3)
     meta = stencil.verify_tri_grid(tris, n_local_verts=nv)
     assert meta is not None
-    base, g0, g1, slow_major, pats = meta
-    assert (base, g0, g1, slow_major) == (0, 6, 4, True)
+    base, g0, g1, pats = meta
+    assert (base, g0, g1) == (0, 6, 4)
     assert len(pats) == 2
     # make_plane layout (j-outer cells, vid = j*(nx+1)+i).
     plane = make_plane(4, 6)
@@ -105,54 +145,87 @@ def test_verify_tri_grid_detects_and_rejects():
         sph.faces, n_local_verts=len(sph.vertices)) is None
 
 
-def test_tri_stencil_dx_dt_match_gather():
+def _flat_grid_verts(nx, ny):
+    return np.array(
+        [[i * 0.31, 0.0, j * 0.27] for i in range(nx + 1)
+         for j in range(ny + 1)], dtype=np.float64)
+
+
+def _tri_batches(tris, verts, off=0):
+    lame = Lame.from_youngs_poisson(1e7, 0.399)
+    lame.limit_min, lame.limit_max = 0.95, 1.05
+    flat = el.build_tri_batch(verts, tris, lame, vertex_offset=off)
+    import os
+
+    os.environ["ADMM_TPU_NO_STENCIL"] = "1"
+    try:
+        ref = el.build_tri_batch(verts, tris, lame, vertex_offset=off)
+    finally:
+        del os.environ["ADMM_TPU_NO_STENCIL"]
+    assert flat.stencil is not None and ref.stencil is None
+    plan = stencil.tri_flat_plan(tris, flat.stencil)
+    return flat, ref, plan
+
+
+def test_tri_flat_stencil_dx_dt_match_gather():
     import jax.numpy as jnp
 
     from admm_elastic_tpu.geometry.factory import make_plane
 
-    for tris, nv in (_grid_tris_imajor(5, 4),
-                     (lambda p: (p.faces, len(p.vertices)))(make_plane(4, 5))):
-        meta = stencil.verify_tri_grid(tris, n_local_verts=nv)
-        assert meta is not None
-        t = len(tris)
+    plane = make_plane(4, 5)
+    for tris, verts in (
+        (_grid_tris_imajor(5, 4)[0], _flat_grid_verts(5, 4)),
+        (np.asarray(plane.faces), np.asarray(plane.vertices)),
+    ):
+        nv = len(verts)
+        flat, ref, plan = _tri_batches(tris, verts)
         rng = np.random.default_rng(1)
-        dlocal = jnp.asarray(rng.standard_normal((t, 3, 2)))
-        inds = jnp.asarray(tris, jnp.int32)
         x = jnp.asarray(rng.standard_normal((nv, 3)))
+        live = plan.src >= 0
 
-        np.testing.assert_allclose(
-            np.asarray(stencil.tri_Dx_rows(x, meta, dlocal)),
-            np.asarray(red.tri_Dx_rows(x, inds, dlocal)),
-            rtol=1e-12, atol=1e-12)
-        g = jnp.asarray(rng.standard_normal((6, t)))
+        rows_flat = np.asarray(stencil.tri_Dx_rows(x, flat))
+        rows_ref = np.asarray(red.tri_Dx_rows(x, ref.inds, ref.Dlocal))
+        np.testing.assert_allclose(rows_flat[:, live],
+                                   rows_ref[:, plan.src[live]],
+                                   rtol=1e-12, atol=1e-12)
+        # Dead lanes carry the identity 3x2 F (rows 0 and 3 = 1).
+        ident = np.zeros((6, int((~live).sum())))
+        ident[[0, 3]] = 1.0
+        np.testing.assert_allclose(rows_flat[:, ~live], ident, atol=1e-15)
+
+        g_ref = rng.standard_normal((6, ref.n))
+        g_flat = np.zeros((6, flat.n))
+        g_flat[:, live] = g_ref[:, plan.src[live]]
         gi = jnp.asarray(red.build_gather_table(tris, nv))
         np.testing.assert_allclose(
-            np.asarray(stencil.tri_Dt_rows(g, meta, dlocal, nv)),
-            np.asarray(red.tri_Dt_rows(g, inds, dlocal, nv, gi)),
+            np.asarray(stencil.tri_Dt_rows(jnp.asarray(g_flat), flat, nv)),
+            np.asarray(red.tri_Dt_rows(jnp.asarray(g_ref), ref.inds,
+                                       ref.Dlocal, nv, gi)),
             rtol=1e-12, atol=1e-12)
 
 
-def test_tri_stencil_offset_family():
+def test_tri_flat_stencil_offset_family():
     import jax.numpy as jnp
 
     tris, nv = _grid_tris_imajor(3, 4)
+    verts = _flat_grid_verts(3, 4)
     off = 23
-    meta = stencil.verify_tri_grid(tris, base=off, n_local_verts=nv)
-    assert meta is not None
+    flat, ref, plan = _tri_batches(tris, verts, off=off)
     n_total = off + nv + 7
-    t = len(tris)
     rng = np.random.default_rng(2)
-    dlocal = jnp.asarray(rng.standard_normal((t, 3, 2)))
-    inds = jnp.asarray(tris + off, jnp.int32)
     x = jnp.asarray(rng.standard_normal((n_total, 3)))
+    live = plan.src >= 0
     np.testing.assert_allclose(
-        np.asarray(stencil.tri_Dx_rows(x, meta, dlocal)),
-        np.asarray(red.tri_Dx_rows(x, inds, dlocal)),
+        np.asarray(stencil.tri_Dx_rows(x, flat))[:, live],
+        np.asarray(red.tri_Dx_rows(x, ref.inds, ref.Dlocal))[:, plan.src[live]],
         rtol=1e-12, atol=1e-12)
-    g = jnp.asarray(rng.standard_normal((6, t)))
+    g_ref = rng.standard_normal((6, ref.n))
+    g_flat = np.zeros((6, flat.n))
+    g_flat[:, live] = g_ref[:, plan.src[live]]
     np.testing.assert_allclose(
-        np.asarray(stencil.tri_Dt_rows(g, meta, dlocal, n_total)),
-        np.asarray(red.tri_Dt_rows(g, inds, dlocal, n_total)),
+        np.asarray(stencil.tri_Dt_rows(jnp.asarray(g_flat), flat, n_total)),
+        np.asarray(red.tri_Dt_rows(jnp.asarray(g_ref), ref.inds, ref.Dlocal,
+                                   n_total)),
         rtol=1e-12, atol=1e-12)
 
 
