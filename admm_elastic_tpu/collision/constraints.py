@@ -42,6 +42,18 @@ class Hits:
     # surfaced through the step into RuntimeData so a dropped contact is
     # never invisible ("no silent drops").
     overflow: jax.Array  # bool scalar
+    # STATIC: the surface is every vertex in order (surf_inds == arange(N),
+    # the default whenever collision objects exist, src/Collider.hpp:158).
+    # The hit-row gathers/scatters (x[p_vidx], .at[p_vidx].add) are then
+    # the identity and every C/C^T apply below becomes pure elementwise
+    # work — XLA's arbitrary-index gather runs at ~3 GB/s on this TPU, so
+    # at 160k verts this removes ~0.3 ms from EVERY penalty-CG iteration.
+    dense: bool = False
+    # STATIC: dynamic colliders are registered. When False, d_mask is
+    # identically False and the dynamic-row terms (including the d_face
+    # scatter, the one op `dense` cannot remove) are dead code — elide
+    # them at trace time.
+    may_dyn: bool = True
 
     @property
     def capacity(self) -> int:
@@ -62,11 +74,12 @@ jax.tree_util.register_dataclass(
         "p_mask", "p_vidx", "p_normal", "p_point",
         "d_mask", "d_vidx", "d_face", "d_barys", "d_normal", "overflow",
     ),
-    meta_fields=(),
+    meta_fields=("dense", "may_dyn"),
 )
 
 
-def empty_hits(surf_inds, dtype) -> Hits:
+def empty_hits(surf_inds, dtype, dense: bool = False,
+               may_dyn: bool = True) -> Hits:
     h = surf_inds.shape[0]
     z3 = jnp.zeros((h, 3), dtype=dtype)
     return Hits(
@@ -80,6 +93,8 @@ def empty_hits(surf_inds, dtype) -> Hits:
         d_barys=z3,
         d_normal=z3,
         overflow=jnp.asarray(False),
+        dense=dense,
+        may_dyn=may_dyn,
     )
 
 
@@ -89,11 +104,13 @@ def empty_hits(surf_inds, dtype) -> Hits:
 
 def C_apply(hits: Hits, ck, x):
     """C x -> ([Hp], [Hd]) row values (masked rows are 0)."""
-    xp = x[hits.p_vidx]  # [H, 3]
+    xp = x if hits.dense else x[hits.p_vidx]  # [H, 3]
     rp = ck * jnp.sum(hits.p_normal * xp, axis=-1)
     rp = jnp.where(hits.p_mask, rp, 0.0)
 
-    xv = x[hits.d_vidx]
+    if not hits.may_dyn:
+        return rp, jnp.zeros_like(rp)
+    xv = x if hits.dense else x[hits.d_vidx]
     xf = x[hits.d_face]  # [H, 3, 3]
     face_pt = jnp.sum(hits.d_barys[..., None] * xf, axis=-2)
     rd = ck * jnp.sum(hits.d_normal * (xv - face_pt), axis=-1)
@@ -112,10 +129,20 @@ def C_rhs(hits: Hits, ck):
 def Ct_apply(hits: Hits, ck, yp, yd, n_verts):
     """C^T [yp; yd] -> [N, 3]."""
     yp = jnp.where(hits.p_mask, yp, 0.0)
+    p_part = (ck * yp)[..., None] * hits.p_normal
+    if not hits.may_dyn:
+        if hits.dense:
+            return p_part
+        out = jnp.zeros((n_verts, 3), dtype=hits.p_normal.dtype)
+        return out.at[hits.p_vidx].add(p_part)
     yd = jnp.where(hits.d_mask, yd, 0.0)
-    out = jnp.zeros((n_verts, 3), dtype=hits.p_normal.dtype)
-    out = out.at[hits.p_vidx].add((ck * yp)[..., None] * hits.p_normal)
-    out = out.at[hits.d_vidx].add((ck * yd)[..., None] * hits.d_normal)
+    d_part = (ck * yd)[..., None] * hits.d_normal
+    if hits.dense:
+        out = p_part + d_part
+    else:
+        out = jnp.zeros((n_verts, 3), dtype=hits.p_normal.dtype)
+        out = out.at[hits.p_vidx].add(p_part)
+        out = out.at[hits.d_vidx].add(d_part)
     contrib_f = -(ck * yd)[..., None, None] * hits.d_barys[..., None] * hits.d_normal[..., None, :]
     out = out.at[hits.d_face.reshape(-1)].add(contrib_f.reshape(-1, 3))
     return out
@@ -124,11 +151,19 @@ def Ct_apply(hits: Hits, ck, yp, yd, n_verts):
 def CtC_diag(hits: Hits, ck, n_verts, dtype):
     """diag(C^T C) per dof -> [N, 3] (for the GS penalty fold)."""
     ck2 = ck * ck
-    out = jnp.zeros((n_verts, 3), dtype=dtype)
     coef_p = jnp.where(hits.p_mask[..., None], ck2 * hits.p_normal**2, 0.0)
-    out = out.at[hits.p_vidx].add(coef_p)
+    if hits.dense:
+        out = coef_p.astype(dtype)
+    else:
+        out = jnp.zeros((n_verts, 3), dtype=dtype)
+        out = out.at[hits.p_vidx].add(coef_p)
+    if not hits.may_dyn:
+        return out
     coef_v = jnp.where(hits.d_mask[..., None], ck2 * hits.d_normal**2, 0.0)
-    out = out.at[hits.d_vidx].add(coef_v)
+    if hits.dense:
+        out = out + coef_v
+    else:
+        out = out.at[hits.d_vidx].add(coef_v)
     coef_f = jnp.where(
         hits.d_mask[..., None, None],
         ck2 * (hits.d_barys[..., None] * hits.d_normal[..., None, :]) ** 2,

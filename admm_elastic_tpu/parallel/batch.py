@@ -172,6 +172,7 @@ def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True,
             sys_s, pcg_s, obstacles, colliders, winds, surf, pin_mask, pin_target,
             state, params,
             linsolver=ls, prox_iters=prox_iters, with_passive=True,
+            dense_surf=getattr(solver, "_surf_dense", False),
         )
         return new_state.x, new_state.v, new_state.y, new_state.prev_active, ovf
 

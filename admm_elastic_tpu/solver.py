@@ -88,18 +88,22 @@ class RuntimeData:
 # The jitted step
 # ---------------------------------------------------------------------------
 
-def _detect(obstacles, colliders, x, surf_inds, with_passive: bool, dtype):
+def _detect(obstacles, colliders, x, surf_inds, with_passive: bool, dtype,
+            dense_surf: bool = False):
     """One round of collision detection into fixed-capacity buffers.
 
     Mirrors Collider::detect (src/Collider.hpp:152-212): deepest passive
     hit per vertex across obstacles; first dynamic hit per vertex across
     colliders (the reference resolves one dynamic collision at a time,
-    src/DynamicObject.hpp:73).
+    src/DynamicObject.hpp:73). dense_surf (static) marks surf_inds ==
+    arange(N): the query gather and every C/C^T hit-row gather/scatter
+    downstream become identity ops (collision/constraints.Hits.dense).
     """
-    hits = con.empty_hits(surf_inds, dtype)
+    hits = con.empty_hits(surf_inds, dtype, dense=dense_surf,
+                          may_dyn=bool(colliders))
     if surf_inds.shape[0] == 0:
         return hits
-    xs = x[surf_inds]
+    xs = x if dense_surf else x[surf_inds]
     if obstacles and with_passive:
         dx, point, normal, mask = detect_passive(obstacles, xs)
         hits = dataclasses.replace(hits, p_mask=mask, p_normal=normal, p_point=point)
@@ -192,6 +196,7 @@ def _step_core(
     refine_passes: int = 1,
     unroll_admm_iters: int = 0,
     aa_window: int = 0,
+    dense_surf: bool = False,
 ):
     dt = system.dt
     dtype = state.x.dtype
@@ -283,7 +288,7 @@ def _step_core(
         # LOCAL (src/Solver.cpp:84-87)
         z, u = sysm.local_step(system, curr_x, z, u, prox_iters)
         # COLLISION (src/Solver.cpp:92-93)
-        hits = _detect(obstacles, colliders, curr_x, surf_inds, with_passive, dtype)
+        hits = _detect(obstacles, colliders, curr_x, surf_inds, with_passive, dtype, dense_surf)
         b = sysm.rhs(system, M_xbar, z, u)
         curr_x, y, n_prev, it = do_global(b, curr_x, hits, y, n_prev)
         return (curr_x, z, u, y, n_prev, tot + it, ovf | hits.overflow)
@@ -313,7 +318,7 @@ def _step_core(
         # LOCAL from v: z = prox(v), u = v - z.
         z_new = [b_.prox(vi, prox_iters) for b_, vi in zip(batches, v_list)]
         u_new = [vi - zi for vi, zi in zip(v_list, z_new)]
-        hits = _detect(obstacles, colliders, curr_x, surf_inds, with_passive, dtype)
+        hits = _detect(obstacles, colliders, curr_x, surf_inds, with_passive, dtype, dense_surf)
         b = sysm.rhs(system, M_xbar, z_new, u_new)
         x_new, y, n_prev, it = do_global(b, curr_x, hits, y, n_prev)
         gv = _flat([di + ui for di, ui in zip(sysm.Dx(system, x_new), u_new)])
@@ -356,14 +361,14 @@ def _step_core(
     return new_state, inner, ovf
 
 
-_step_impl = jax.jit(_step_core, static_argnames=("linsolver", "prox_iters", "with_passive", "refine_passes", "unroll_admm_iters", "aa_window"))
+_step_impl = jax.jit(_step_core, static_argnames=("linsolver", "prox_iters", "with_passive", "refine_passes", "unroll_admm_iters", "aa_window", "dense_surf"))
 
 
 def _run_core(system, solve_data, obstacles, colliders, wind_forces, surf_inds,
               pin_mask, pin_target, state, params, n_steps, *,
               linsolver: int, prox_iters: int, with_passive: bool,
               refine_passes: int = 1, unroll_admm_iters: int = 0,
-              aa_window: int = 0):
+              aa_window: int = 0, dense_surf: bool = False):
     """n_steps timesteps fully on device (no host sync between steps).
 
     Returns (state, overflow): overflow is the sticky OR of every step's
@@ -377,14 +382,14 @@ def _run_core(system, solve_data, obstacles, colliders, wind_forces, surf_inds,
             pin_mask, pin_target, st, params,
             linsolver=linsolver, prox_iters=prox_iters, with_passive=with_passive,
             refine_passes=refine_passes, unroll_admm_iters=unroll_admm_iters,
-            aa_window=aa_window,
+            aa_window=aa_window, dense_surf=dense_surf,
         )
         return st, ovf | ovf_step
 
     return jax.lax.fori_loop(0, n_steps, body, (state, jnp.asarray(False)))
 
 
-_run_impl = jax.jit(_run_core, static_argnames=("linsolver", "prox_iters", "with_passive", "refine_passes", "unroll_admm_iters", "aa_window"))
+_run_impl = jax.jit(_run_core, static_argnames=("linsolver", "prox_iters", "with_passive", "refine_passes", "unroll_admm_iters", "aa_window", "dense_surf"))
 
 
 # ---------------------------------------------------------------------------
@@ -405,6 +410,7 @@ class Solver:
         self._tri_specs: List[Tuple] = []
         self._pins: Dict[int, np.ndarray] = {}
         self.surface_inds: List[int] = []
+        self._surf_dense = False  # set at initialize
         self.obstacles: List = []
         self.colliders: List[TetMeshCollider] = []
         self.ext_forces: List = []
@@ -668,6 +674,10 @@ class Solver:
         else:
             surf = np.zeros((0,), dtype=np.int64)
         self._surf_inds_dev = jnp.asarray(surf, dtype=jnp.int32)
+        # Static: the default "query every vertex" surface makes all
+        # hit-row gathers/scatters identity ops (Hits.dense fast path).
+        self._surf_dense = bool(
+            surf.shape[0] == n and np.array_equal(surf, np.arange(n)))
 
         # Global solver data.
         def _pin_rows():
@@ -850,6 +860,7 @@ class Solver:
             refine_passes=self._refine_eff,
             unroll_admm_iters=(s.admm_iters if s.unroll_admm else 0),
             aa_window=s.aa_window,
+            dense_surf=self._surf_dense,
         )
         new_state = jax.block_until_ready(new_state)
         self.state = new_state
@@ -900,7 +911,7 @@ class Solver:
         with_passive = s.linsolver != cfg.NCMCGS
 
         local_fn = jax.jit(partial(sysm.local_step, n_newton_iters=s.prox_newton_iters))
-        detect_fn = jax.jit(partial(_detect, with_passive=with_passive, dtype=dtype))
+        detect_fn = jax.jit(partial(_detect, with_passive=with_passive, dtype=dtype, dense_surf=self._surf_dense))
         # Same A^-1 operator (refine_passes + polish / inner PCG) as the
         # fused path, so profiled runs match step() numerics exactly.
         apply_Ainv = _make_apply_Ainv(system, self._solve_data, params, self._refine_eff)
@@ -1023,7 +1034,7 @@ class Solver:
         with_passive = s.linsolver != cfg.NCMCGS
 
         local_fn = jax.jit(partial(sysm.local_step, n_newton_iters=s.prox_newton_iters))
-        detect_fn = jax.jit(partial(_detect, with_passive=with_passive, dtype=dtype))
+        detect_fn = jax.jit(partial(_detect, with_passive=with_passive, dtype=dtype, dense_surf=self._surf_dense))
         apply_Ainv = _make_apply_Ainv(system, self._solve_data, params, self._refine_eff)
 
         def global_traced(b, curr_x, hits, y, n_prev):
@@ -1127,6 +1138,7 @@ class Solver:
             refine_passes=self._refine_eff,
             unroll_admm_iters=(s.admm_iters if s.unroll_admm else 0),
             aa_window=s.aa_window,
+            dense_surf=self._surf_dense,
         )
         self.state = jax.block_until_ready(new_state)
         self._runtime = RuntimeData(
