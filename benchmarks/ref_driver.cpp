@@ -78,6 +78,72 @@ static void make_beam(int nx, int ny, int nz, std::vector<double>& verts,
       }
 }
 
+// Solid torus: n_sec^2 cross-section grid mapped square->disk (max-norm),
+// swept around the ring in n_ring wrapping segments of hexes, 5 tets each
+// — matches admm_elastic_tpu.geometry.factory.make_tet_torus (an
+// IRREGULAR mesh for the solver: the ring wrap breaks the lattice
+// stencil, so the TPU build runs its gather path here).
+static void make_torus(int n_ring, int n_sec, std::vector<double>& verts,
+                       std::vector<int>& tets) {
+  if (n_ring % 2 != 0) n_ring += 1;
+  const double major = 1.0, minor = 0.35;
+  int m = n_sec;
+  int n_cs = (m + 1) * (m + 1);
+  std::vector<double> disk(2 * n_cs);
+  for (int i = 0; i <= m; ++i)
+    for (int j = 0; j <= m; ++j) {
+      double v = -1.0 + 2.0 * i / m, w = -1.0 + 2.0 * j / m;
+      double linf = std::max(std::fabs(v), std::fabs(w));
+      double l2 = std::sqrt(v * v + w * w);
+      double s = l2 > 1e-12 ? linf / l2 : 0.0;
+      disk[(i * (m + 1) + j) * 2] = v * s * minor;
+      disk[(i * (m + 1) + j) * 2 + 1] = w * s * minor;
+    }
+  for (int s = 0; s < n_ring; ++s) {
+    double a = 2.0 * M_PI * s / n_ring;
+    double ca = std::cos(a), sa = std::sin(a);
+    for (int c = 0; c < n_cs; ++c) {
+      double r = major + disk[c * 2];
+      verts.push_back(r * ca);
+      verts.push_back(disk[c * 2 + 1]);
+      verts.push_back(r * sa);
+    }
+  }
+  auto vid = [&](int s, int i, int j) {
+    return (s % n_ring) * n_cs + i * (m + 1) + j;
+  };
+  const int even[5][4] = {{0, 1, 3, 5}, {0, 3, 2, 6}, {0, 5, 4, 6},
+                          {3, 5, 6, 7}, {0, 3, 5, 6}};
+  const int odd[5][4] = {{1, 2, 0, 4}, {1, 7, 3, 2}, {1, 4, 5, 7},
+                         {2, 4, 6, 7}, {1, 2, 7, 4}};
+  for (int s = 0; s < n_ring; ++s)
+    for (int i = 0; i < m; ++i)
+      for (int j = 0; j < m; ++j) {
+        int c[8] = {vid(s, i, j),         vid(s + 1, i, j),
+                    vid(s, i + 1, j),     vid(s + 1, i + 1, j),
+                    vid(s, i, j + 1),     vid(s + 1, i, j + 1),
+                    vid(s, i + 1, j + 1), vid(s + 1, i + 1, j + 1)};
+        const int(*pat)[4] = ((s + i + j) % 2 == 0) ? even : odd;
+        for (int t = 0; t < 5; ++t) {
+          int a = c[pat[t][0]], b = c[pat[t][1]], d = c[pat[t][2]],
+              e = c[pat[t][3]];
+          Vec3 p0(verts[a * 3], verts[a * 3 + 1], verts[a * 3 + 2]);
+          Vec3 p1(verts[b * 3], verts[b * 3 + 1], verts[b * 3 + 2]);
+          Vec3 p2(verts[d * 3], verts[d * 3 + 1], verts[d * 3 + 2]);
+          Vec3 p3(verts[e * 3], verts[e * 3 + 1], verts[e * 3 + 2]);
+          Eigen::Matrix3d E;
+          E.col(0) = p1 - p0;
+          E.col(1) = p2 - p0;
+          E.col(2) = p3 - p0;
+          if (E.determinant() < 0) std::swap(b, d);
+          tets.push_back(a);
+          tets.push_back(b);
+          tets.push_back(d);
+          tets.push_back(e);
+        }
+      }
+}
+
 int main(int argc, char** argv) {
   int nx = 40, ny = 5, nz = 5, iters = 10, n_steps = 20, model = 1;
   if (argc > 3) {
