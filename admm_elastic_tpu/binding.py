@@ -61,7 +61,8 @@ def add_tetmesh(solver: Solver, mesh: TetMesh, lame: Lame | None = None, verbose
             model = m
     solver.add_tet_energies(mesh.vertices, mesh.tets, lame, model=model,
                             vertex_offset=prev_verts,
-                            lattice_dims=getattr(mesh, "lattice_dims", None))
+                            lattice_dims=getattr(mesh, "lattice_dims", None),
+                            lattice_wrap=getattr(mesh, "lattice_wrap", False))
 
     if verbose:
         print(

@@ -208,7 +208,12 @@ def make_tet_torus(major_radius: float = 1.0, minor_radius: float = 0.35,
                 for t in pattern:
                     tets.append([c[t[0]], c[t[1]], c[t[2]], c[t[3]]])
     tets = _reorient(verts, np.asarray(tets, dtype=np.int64))
-    return TetMesh(vertices=verts, tets=tets)
+    mesh = TetMesh(vertices=verts, tets=tets)
+    # Periodic-ring lattice tag: the first axis wraps, enabling the
+    # roll-based flat stencil (ops/stencil.py verify_lattice wrap=True).
+    mesh.lattice_dims = (n_ring, m, m)
+    mesh.lattice_wrap = True
+    return mesh
 
 
 def _bunny_blob_sdf_inside(q: np.ndarray) -> np.ndarray:

@@ -54,42 +54,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# meta: (base, X, Y, Z, pat_even, pat_odd) with pat_* a 5x4
-# tuple-of-tuples of cube-corner ids (di*4 + dj*2 + dk) and base the
-# family's global vertex offset (meshes are staged consecutively).
-StencilMeta = Tuple[int, int, int, int, tuple, tuple]
+# meta: (base, X, Y, Z, pat_even, pat_odd, wrap) with pat_* a 5x4
+# tuple-of-tuples of cube-corner ids (di*4 + dj*2 + dk), base the
+# family's global vertex offset (meshes are staged consecutively), and
+# wrap marking a PERIODIC first axis (ring lattices like the torus:
+# X counts ring segments — cells AND vertices — and every corner shift
+# is a flat roll instead of a padded slice).
+StencilMeta = Tuple[int, int, int, int, tuple, tuple, bool]
 
 _CORNERS = tuple(product((0, 1), (0, 1), (0, 1)))  # id = di*4 + dj*2 + dk
 
 
-def verify_lattice(inds: np.ndarray, dims: Tuple[int, int, int],
-                   base: int = 0) -> Optional[StencilMeta]:
-    """Check LOCAL inds [T,4] (0-based within the mesh) against an
-    (nx,ny,nz)-cell lattice; extract the per-(parity, slot, corner)
-    cube-corner pattern or return None. `base` is the family's global
-    vertex offset recorded into the meta."""
-    nx, ny, nz = dims
-    X, Y, Z = nx + 1, ny + 1, nz + 1
-    inds = np.asarray(inds)
-    t = inds.shape[0]
-    if t != nx * ny * nz * 5 or inds.shape[1] != 4:
-        return None
-    cell = np.arange(t) // 5
-    slot = np.arange(t) % 5
-    ci = cell // (ny * nz)
-    cj = (cell // nz) % ny
-    ck = cell % nz
-    ii = inds // (Y * Z)
-    jj = (inds // Z) % Y
-    kk = inds % Z
-    di = ii - ci[:, None]
-    dj = jj - cj[:, None]
-    dk = kk - ck[:, None]
-    if not ((di >= 0) & (di <= 1) & (dj >= 0) & (dj <= 1)
-            & (dk >= 0) & (dk <= 1)).all():
-        return None
-    corner = di * 4 + dj * 2 + dk  # [T, 4]
-    parity = (ci + cj + ck) % 2
+def _extract_pats(corner: np.ndarray, parity: np.ndarray,
+                  slot: np.ndarray):
     pats = []
     for p in (0, 1):
         sel = parity == p
@@ -104,7 +81,50 @@ def verify_lattice(inds: np.ndarray, dims: Tuple[int, int, int],
             if not (rows == rows[0]).all():
                 return None
         pats.append(tuple(tuple(int(v) for v in r) for r in pat))
-    return (int(base), X, Y, Z, pats[0], pats[1])
+    return pats
+
+
+def verify_lattice(inds: np.ndarray, dims: Tuple[int, int, int],
+                   base: int = 0,
+                   wrap: bool = False) -> Optional[StencilMeta]:
+    """Check LOCAL inds [T,4] (0-based within the mesh) against an
+    (nx,ny,nz)-cell lattice; extract the per-(parity, slot, corner)
+    cube-corner pattern or return None. `base` is the family's global
+    vertex offset recorded into the meta.
+
+    wrap=True verifies a RING lattice instead (make_tet_torus): the
+    first axis is periodic — nx ring segments of cells AND vertices,
+    first-axis corner deltas taken modulo nx (nx must be even so the
+    parity pattern closes around the seam)."""
+    nx, ny, nz = dims
+    if wrap and nx % 2 != 0:
+        return None
+    X = nx if wrap else nx + 1
+    Y, Z = ny + 1, nz + 1
+    inds = np.asarray(inds)
+    t = inds.shape[0]
+    if t != nx * ny * nz * 5 or inds.shape[1] != 4:
+        return None
+    cell = np.arange(t) // 5
+    slot = np.arange(t) % 5
+    ci = cell // (ny * nz)
+    cj = (cell // nz) % ny
+    ck = cell % nz
+    ii = inds // (Y * Z)
+    jj = (inds // Z) % Y
+    kk = inds % Z
+    di = (ii - ci[:, None]) % nx if wrap else ii - ci[:, None]
+    dj = jj - cj[:, None]
+    dk = kk - ck[:, None]
+    if not ((di >= 0) & (di <= 1) & (dj >= 0) & (dj <= 1)
+            & (dk >= 0) & (dk <= 1)).all():
+        return None
+    corner = di * 4 + dj * 2 + dk  # [T, 4]
+    parity = (ci + cj + ck) % 2
+    pats = _extract_pats(corner, parity, slot)
+    if pats is None:
+        return None
+    return (int(base), X, Y, Z, pats[0], pats[1], bool(wrap))
 
 
 # ---------------------------------------------------------------------------
@@ -165,8 +185,9 @@ class FlatPlan:
 
 
 def tet_flat_plan(meta: StencilMeta) -> FlatPlan:
-    base, X, Y, Z, pe, po = meta
-    nx, ny, nz = X - 1, Y - 1, Z - 1
+    base, X, Y, Z, pe, po, wrap = meta
+    nx = X if wrap else X - 1  # ring lattices have no +1 on the wrap axis
+    ny, nz = Y - 1, Z - 1
     ci, cj, ck = np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z),
                              indexing="ij")
     live = (ci < nx) & (cj < ny) & (ck < nz)
@@ -184,11 +205,11 @@ def tet_flat_plan(meta: StencilMeta) -> FlatPlan:
 
 
 def _tet_geom(meta: StencilMeta):
-    base, X, Y, Z, pe, po = meta
+    base, X, Y, Z, pe, po, wrap = meta
     YZ = Y * Z
     cells = X * YZ
     offs = tuple(di * YZ + dj * Z + dk for (di, dj, dk) in _CORNERS)
-    return base, cells, offs, pe, po
+    return base, cells, offs, pe, po, wrap
 
 
 def tet_Dx_rows(x, b):
@@ -197,11 +218,17 @@ def tet_Dx_rows(x, b):
     Dead lanes receive an identity F so prox/energy stay well-defined;
     their weight/volume are 0 so they never influence the solve.
     """
-    base, cells, offs, pe, po = _tet_geom(b.stencil)
+    base, cells, offs, pe, po, wrap = _tet_geom(b.stencil)
     maxd = max(offs)
     xT = x[base:base + cells].T  # [3, cells] — lane-major stream
-    xp = jnp.pad(xT, ((0, 0), (0, maxd)))
-    xc = [jax.lax.slice_in_dim(xp, d, d + cells, axis=1) for d in offs]
+    if wrap:
+        # Periodic first axis: corner (di,dj,dk) of cell p is vertex
+        # (p + d) mod cells — a flat roll. (Live cells never overflow the
+        # cross-section; dead-lane garbage reads are killed by dl = 0.)
+        xc = [jnp.roll(xT, -d, axis=1) for d in offs]
+    else:
+        xp = jnp.pad(xT, ((0, 0), (0, maxd)))
+        xc = [jax.lax.slice_in_dim(xp, d, d + cells, axis=1) for d in offs]
     par = b.st_par  # [cells], 1.0 on even cells
     inv = 1.0 - par
     dl = b.st_dl  # [5, 4, 3, cells]
@@ -228,7 +255,7 @@ def tet_Dt_rows(G_rows, b, n_verts):
     Callers pre-multiply G by w^2, which is 0 on dead lanes, so no
     live-masking is needed here.
     """
-    base, cells, offs, pe, po = _tet_geom(b.stencil)
+    base, cells, offs, pe, po, wrap = _tet_geom(b.stencil)
     maxd = max(offs)
     g = G_rows.reshape(3, 3, 5, cells)
     dl = b.st_dl
@@ -249,12 +276,22 @@ def tet_Dt_rows(G_rows, b, n_verts):
                 o = inv * contrib
                 acc[he] = e if acc[he] is None else acc[he] + e
                 acc[ho] = o if acc[ho] is None else acc[ho] + o
-    out = jnp.zeros((3, cells + maxd), dtype=G_rows.dtype)
-    for cid, d in enumerate(offs):
-        if acc[cid] is None:
-            continue
-        out = out + jnp.pad(acc[cid], ((0, 0), (d, maxd - d)))
-    outT = out[:, :cells].T  # [cells, 3] = the family's vertex block
+    if wrap:
+        out = jnp.zeros((3, cells), dtype=G_rows.dtype)
+        for cid, d in enumerate(offs):
+            if acc[cid] is None:
+                continue
+            # out[(p + d) mod cells] += acc[p]: dead lanes carry zeros
+            # (w^2 = 0 pre-multiplied), so the rolled writes are exact.
+            out = out + jnp.roll(acc[cid], d, axis=1)
+        outT = out.T
+    else:
+        out = jnp.zeros((3, cells + maxd), dtype=G_rows.dtype)
+        for cid, d in enumerate(offs):
+            if acc[cid] is None:
+                continue
+            out = out + jnp.pad(acc[cid], ((0, 0), (d, maxd - d)))
+        outT = out[:, :cells].T  # [cells, 3] = the family's vertex block
     if base == 0 and cells == n_verts:
         return outT
     return jnp.pad(outT, ((base, n_verts - base - cells), (0, 0)))

@@ -444,14 +444,16 @@ class Solver:
 
     def add_tet_energies(self, verts, tets, lame: Lame, model: str = "linear",
                          vertex_offset: int = 0, kappa: float = 0.0,
-                         lattice_dims=None):
+                         lattice_dims=None, lattice_wrap: bool = False):
         """Register a tet element family (create_tets_from_mesh equivalent,
         src/TetEnergyTerm.hpp:35-51). lattice_dims=(nx,ny,nz) marks a
         structured make_tet_blocks grid (verified against tets at build;
-        enables the gather-free stencil D/D^T)."""
+        enables the gather-free stencil D/D^T); lattice_wrap marks a
+        periodic first axis (make_tet_torus ring lattices)."""
         self._tet_specs.append((np.asarray(verts, dtype=np.float64),
                                 np.asarray(tets, dtype=np.int64), lame, model,
-                                vertex_offset, kappa, lattice_dims))
+                                vertex_offset, kappa, lattice_dims,
+                                lattice_wrap))
 
     def add_tri_energies(self, verts, tris, lame: Lame, vertex_offset: int = 0):
         """Register a triangle (cloth) family (src/TriEnergyTerm.hpp:31-46)."""
@@ -599,8 +601,8 @@ class Solver:
         # Element batches.
         tets = tuple(
             el.build_tet_batch(v, t, lame, model, off, dtype=dtype, kappa=kap,
-                               lattice_dims=dims)
-            for (v, t, lame, model, off, kap, dims) in self._tet_specs
+                               lattice_dims=dims, lattice_wrap=wrapf)
+            for (v, t, lame, model, off, kap, dims, wrapf) in self._tet_specs
         )
         tris = tuple(
             el.build_tri_batch(v, t, lame, off, dtype=dtype)

@@ -300,6 +300,7 @@ def build_tet_batch(
     dtype=np.float64,
     kappa: float = 0.0,
     lattice_dims=None,
+    lattice_wrap: bool = False,
 ) -> TetBatch:
     """Build a TetBatch from rest vertices [V,3] and tet indices [T,4].
 
@@ -329,7 +330,8 @@ def build_tet_batch(
         from admm_elastic_tpu.ops import stencil as stencil_mod
 
         stencil = stencil_mod.verify_lattice(tets, lattice_dims,
-                                             base=vertex_offset)
+                                             base=vertex_offset,
+                                             wrap=lattice_wrap)
     if stencil is not None:
         # Flat-stencil layout (ops/stencil.py v2): elements reordered
         # slot-major over vertex-pitch-embedded cells; dead lanes are

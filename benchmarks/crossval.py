@@ -35,6 +35,7 @@ SCENES = [
     ("selfcollision_gs", dict(kind="boxes", model="linear", ls=1)),
     ("sphere_obstacle_gs", dict(kind="sphere", model="linear", ls=1)),
     ("sdf_obstacle_gs", dict(kind="sdf", model="linear", ls=1)),
+    ("torus_nh_pcg", dict(kind="torus", model="neohookean", ls=3)),
 ]
 
 STEPS = 8
@@ -101,6 +102,13 @@ def run_scene(kind, model, ls, wind=False):
         mesh.apply_xform(make_xform(trans=(0.4, 1.0, 0.4)))
         binding.add_tetmesh(solver, mesh, Lame.soft_rubber(), verbose=False)
         solver.add_obstacle(sdf)
+    elif kind == "torus":
+        from admm_elastic_tpu.geometry.factory import make_tet_torus
+
+        mesh = make_tet_torus(n_ring=12, n_sec=4)
+        mesh.flags = binding.NOSELFCOLLISION | flag
+        binding.add_tetmesh(solver, mesh, Lame.soft_rubber(), verbose=False)
+        solver.set_pins(list(range((4 + 1) ** 2)))
     elif kind == "boxes":
         for i in range(2):
             m = make_tet_blocks(4, 4, 4, cell=0.25)

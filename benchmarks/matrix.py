@@ -53,6 +53,26 @@ def _beam_solver(nx, ny, nz, model, linsolver, floor_y=None, dtype=None,
     return solver
 
 
+def _torus_solver(n_ring, n_sec, linsolver=3, pcg=("jacobi", 60, 1e-6)):
+    """Solid NH torus pinned at the s=0 cross-section ring — matches
+    ref_driver.cpp model 6. The ring wrap makes this mesh irregular for
+    any plain lattice detector; the wrap-aware ring stencil covers it."""
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.geometry.factory import make_tet_torus
+
+    mesh = make_tet_torus(n_ring=n_ring, n_sec=n_sec)
+    mesh.flags = binding.NOSELFCOLLISION | binding.NEOHOOKEAN
+    solver = Solver()
+    binding.add_tetmesh(solver, mesh, Lame.soft_rubber(), verbose=False)
+    solver.set_pins(list(range((n_sec + 1) ** 2)))
+    precond, iters, tol = pcg
+    st = Settings(verbose=0, admm_iters=ADMM_ITERS, linsolver=linsolver,
+                  dtype=np.float32, pcg_precond=precond, pcg_max_iters=iters,
+                  pcg_tol=tol)
+    assert solver.initialize(st)
+    return solver
+
+
 def _cloth_solver(nx, ny, limits=None, wind=None, gravity=-9.8):
     """xz-plane sheet pinned at the -x edge — same geometry as
     ref_driver.cpp model 3 (and tests/test_parity.py wind scene)."""
@@ -183,6 +203,13 @@ SCENES = {
                                          pcg=("jacobi", 150, 1e-6)),
     "beam-floor-alpcg-500k": lambda: _beam_solver(
         100, 32, 32, "linear", 4, floor_y=-1.0, pcg=("jacobi", 100, 1e-4)),
+    # Torus: periodic ring lattice (irregular for a plain lattice
+    # detector; the wrap-aware stencil covers it, ops/stencil.py).
+    "torus-nh-20k": lambda: _torus_solver(64, 8),
+    "torus-nh-160k": lambda: _torus_solver(128, 16,
+                                           pcg=("jacobi", 120, 1e-6)),
+    "torus-nh-500k": lambda: _torus_solver(400, 16,
+                                           pcg=("jacobi", 150, 1e-6)),
     "cloth-limit-160": lambda: _cloth_solver(160, 160,
                                              limits=(0.95, 1.05)),
     # Gentle wind + zero gravity: the reference WindForce adds the kick

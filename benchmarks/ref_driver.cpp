@@ -238,6 +238,10 @@ int main(int argc, char** argv) {
       verts[v * 3 + 1] = verts[v * 3 + 1] * cell + 0.4;
       verts[v * 3 + 2] *= cell;
     }
+  } else if (model == 6) {
+    // Solid torus (irregular for the solver: the ring wrap): nx = n_ring,
+    // ny = n_sec. Pins: the s=0 cross-section ring (first (ny+1)^2 verts).
+    make_torus(nx, ny, verts, tets);
   } else {
     make_beam(nx, ny, nz, verts, tets);
   }
@@ -324,6 +328,10 @@ int main(int argc, char** argv) {
   } else if (with_floor) {
     solver.add_obstacle(
         std::make_shared<admm::Floor>(admm::Floor(floor_y)));
+  } else if (model == 6) {
+    std::vector<int> pins;
+    for (int v = 0; v < (ny + 1) * (ny + 1); ++v) pins.push_back(v);
+    solver.set_pins(pins);
   } else {
     // Pin the -x face (beam) / -x edge (cloth) in place.
     std::vector<int> pins;

@@ -39,6 +39,11 @@ run cloth-limit-40 40 40 0 10 20 3 "" 0 9999.0 0.95 1.05
 run boxes-gs-n3 3 0 0 10 25 4 "" 1 -0.5
 run boxes-gs-n6 6 0 0 10 25 4 "" 1 -0.5
 
+# Torus (model 6: NH, ring s=0 pinned — an IRREGULAR mesh for the solver
+# until the wrap-aware ring stencil; nx = n_ring, ny = n_sec).
+run torus-nh-20k  64 8 0 10 8 6
+run torus-nh-160k 128 16 0 10 3 6
+
 # North-star sizes (BASELINE.json configs 2/4: ~500k-tet solid, ~50k-tri
 # cloth). Heavy: the 512k-tet LDLT factor alone runs many minutes on this
 # box, so these only run with BIG=1 in the environment.
@@ -46,5 +51,6 @@ if [ -n "$BIG" ]; then
   run beam-nh-500k     100 32 32 10 2 1
   run beam-floor-uzawa-500k 100 32 32 10 1 0 "" 2 -1.0
   run cloth-limit-160  160 160 0 10 3 3 "" 0 9999.0 0.95 1.05
+  run torus-nh-500k 400 16 0 10 2 6
 fi
 echo "wrote $RES" >&2

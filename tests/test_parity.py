@@ -100,6 +100,48 @@ def test_stvk_trajectory_parity(tmp_path):
     assert err < 1e-5, f"stvk parity: rel max |dx| = {err}"
 
 
+def test_torus_ring_stencil_trajectory_parity(tmp_path):
+    """Torus (ref_driver model 6) vs ours with the wrap-aware ring
+    stencil: the periodic lattice's D/D^T addressing is proven against
+    the actual reference binary, not just our own gather path."""
+    n_ring, n_sec = 8, 3
+    subprocess.run(
+        ["bash", os.path.join(HERE, "benchmarks", "build_reference.sh")],
+        check=True, capture_output=True, timeout=500,
+    )
+    dump = str(tmp_path / "torus.bin")
+    subprocess.run(
+        ["/tmp/ref_build/ref_driver", str(n_ring), str(n_sec), "0",
+         str(ITERS), str(STEPS), "6", dump],
+        check=True, capture_output=True, timeout=300,
+    )
+    n_verts = n_ring * (n_sec + 1) ** 2
+    ref = np.fromfile(dump, dtype=np.float64).reshape(STEPS, n_verts, 3)
+
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.geometry.factory import make_tet_torus
+
+    mesh = make_tet_torus(n_ring=n_ring, n_sec=n_sec)
+    assert len(mesh.vertices) == n_verts
+    mesh.flags = binding.NOSELFCOLLISION | binding.NEOHOOKEAN
+    solver = Solver()
+    binding.add_tetmesh(solver, mesh, Lame.from_youngs_poisson(10000000, 0.399),
+                        verbose=False)
+    solver.set_pins(list(range((n_sec + 1) ** 2)))
+    s = Settings(verbose=0, admm_iters=ITERS, linsolver=0, gravity=-9.8,
+                 prox_newton_iters=20)
+    assert solver.initialize(s)
+    assert any(b.stencil is not None and b.stencil[6] for b in solver.system.tets)
+    traj = []
+    for _ in range(STEPS):
+        solver.step()
+        traj.append(solver.x.copy())
+    ours = np.stack(traj)
+    scale = np.abs(ref).max()
+    err = np.abs(ref - ours).max() / scale
+    assert err < 1e-5, f"torus parity: rel max |dx| = {err}"
+
+
 def test_uzawa_floor_contact_parity(tmp_path):
     """Beam dropped on the floor, Uzawa saddle-point solve (ls=2).
 

@@ -19,8 +19,8 @@ def test_verify_lattice_detects_and_rejects():
     mesh = make_tet_blocks(4, 3, 2)
     meta = stencil.verify_lattice(mesh.tets, mesh.lattice_dims)
     assert meta is not None
-    base, X, Y, Z, pe, po = meta
-    assert (base, X, Y, Z) == (0, 5, 4, 3)
+    base, X, Y, Z, pe, po, wrap = meta
+    assert (base, X, Y, Z, wrap) == (0, 5, 4, 3, False)
     # Any permutation of tet order breaks the cell-major layout contract.
     rng = np.random.default_rng(0)
     assert stencil.verify_lattice(
@@ -107,6 +107,75 @@ def test_flat_stencil_weights_dead_on_padded_lanes():
     assert (w[~live] == 0).all() and (v[~live] == 0).all()
     assert (w[live] > 0).all()
     assert flat.n_real == ref.n and flat.n == plan.t_cap
+
+
+def test_ring_stencil_torus_matches_gather():
+    """Periodic (wrap) lattice: torus D/D^T equals the gather path."""
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu.geometry.factory import make_tet_torus
+
+    mesh = make_tet_torus(n_ring=10, n_sec=4)
+    lame = Lame.soft_rubber()
+    flat = el.build_tet_batch(mesh.vertices, mesh.tets, lame, "neohookean",
+                              lattice_dims=mesh.lattice_dims,
+                              lattice_wrap=True)
+    ref = el.build_tet_batch(mesh.vertices, mesh.tets, lame, "neohookean")
+    assert flat.stencil is not None and flat.stencil[6] is True
+    plan = stencil.tet_flat_plan(flat.stencil)
+    n = len(mesh.vertices)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((n, 3)))
+    live = plan.src >= 0
+
+    rows_flat = np.asarray(stencil.tet_Dx_rows(x, flat))
+    rows_ref = np.asarray(red.tet_Dx_rows(x, ref.inds, ref.Dlocal))
+    np.testing.assert_allclose(rows_flat[:, live], rows_ref[:, plan.src[live]],
+                               rtol=1e-12, atol=1e-12)
+
+    g_ref = rng.standard_normal((9, ref.n))
+    g_flat = np.zeros((9, flat.n))
+    g_flat[:, live] = g_ref[:, plan.src[live]]
+    np.testing.assert_allclose(
+        np.asarray(stencil.tet_Dt_rows(jnp.asarray(g_flat), flat, n)),
+        np.asarray(red.tet_Dt_rows(jnp.asarray(g_ref), ref.inds,
+                                   ref.Dlocal, n)),
+        rtol=1e-12, atol=1e-12)
+    # The wrap seam really is exercised: some live corner reads cross it.
+    base, X, Y, Z, pe, po, wrap = flat.stencil
+    assert wrap
+    ii = np.asarray(mesh.tets) // (Y * Z)
+    assert (ii.max(axis=1) - ii.min(axis=1) > 1).any()
+
+
+def test_ring_stencil_full_step_trajectory_matches(monkeypatch):
+    """End-to-end torus: ring stencil vs forced gather path."""
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.geometry.factory import make_tet_torus
+
+    def run(use_stencil, monkeypatch):
+        if not use_stencil:
+            monkeypatch.setenv("ADMM_TPU_NO_STENCIL", "1")
+        else:
+            monkeypatch.delenv("ADMM_TPU_NO_STENCIL", raising=False)
+        mesh = make_tet_torus(n_ring=10, n_sec=4)
+        mesh.flags = binding.NOSELFCOLLISION | binding.NEOHOOKEAN
+        s = Solver()
+        binding.add_tetmesh(s, mesh, Lame.soft_rubber(), verbose=False)
+        n_cs = (4 + 1) ** 2
+        s.set_pins(list(range(n_cs)))  # pin the s=0 cross-section ring
+        st = Settings(verbose=0, admm_iters=5, linsolver=3,
+                      dtype=np.float64, pcg_max_iters=40, pcg_tol=1e-10)
+        assert s.initialize(st)
+        has = any(b.stencil is not None for b in s.system.tets)
+        assert has == use_stencil
+        for _ in range(3):
+            s.step()
+        return np.array(s.x)
+
+    a = run(True, monkeypatch)
+    b = run(False, monkeypatch)
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-9)
 
 
 def _grid_tris_imajor(nx, ny):
