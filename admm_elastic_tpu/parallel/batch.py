@@ -97,6 +97,43 @@ def make_scenario_batch(solver, n_scenes: int, stiffness_scale=None, gravity=Non
     )
 
 
+def _debloat_for_throughput(solver, system):
+    """Rebuild gather-path element batches when stencil padding is heavy.
+
+    The flat stencil pads dead lanes (ops/stencil.py) — irrelevant for a
+    single latency-bound scene, but in the BATCHED regime the prox is
+    throughput-bound across every scene and pays the padding directly
+    (measured: the 1024-scene sweep on 16x4x4 beams dropped 38k -> 21k
+    total ADMM iters/s from ~36% dead lanes). Above 15% padding the
+    gather path wins back the waste: small meshes' gathers are cheap.
+    """
+    import dataclasses as dc
+
+    from admm_elastic_tpu.ops import reduction as red
+    from admm_elastic_tpu.system import elements as el
+
+    t_cap = sum(b.n for b in system.tets) + sum(b.n for b in system.tris)
+    t_live = sum(b.n_real for b in system.tets) + sum(b.n_real for b in system.tris)
+    if t_cap == 0 or (t_cap - t_live) / t_cap <= 0.15:
+        return system
+    n = system.n_verts
+    tets = tuple(
+        dc.replace(
+            el.build_tet_batch(v, t, lame, model, off, dtype=solver._dtype,
+                               kappa=kap, lattice_dims=None),
+            gather_idx=jnp.asarray(red.build_gather_table(t, n)))
+        for (v, t, lame, model, off, kap, dims, wrapf) in solver._tet_specs
+    )
+    tris = tuple(
+        dc.replace(
+            el.build_tri_batch(v, t, lame, off, dtype=solver._dtype,
+                               detect_stencil=False),
+            gather_idx=jnp.asarray(red.build_gather_table(t, n)))
+        for (v, t, lame, off) in solver._tri_specs
+    )
+    return dataclasses.replace(system, tets=tets, tris=tris)
+
+
 def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True,
                       linsolver: Optional[int] = None,
                       uses_sweep: bool = True):
@@ -120,6 +157,7 @@ def make_batched_step(solver, mesh: Optional[Mesh] = None, donate: bool = True,
             f"those or pass linsolver= explicitly."
         )
     system = solver.system
+    system = _debloat_for_throughput(solver, system)
     # Base ELL form of A (unscaled); a per-scene stiffness sweep rescales
     # its stiffness entries (w^2 scales linearly, src/TetEnergyTerm.cpp:47).
     # Swept batches force Jacobi: the Jacobi diagonal rescales exactly per

@@ -378,6 +378,7 @@ def build_tri_batch(
     lame: Lame,
     vertex_offset: int = 0,
     dtype=np.float64,
+    detect_stencil: bool = True,
 ) -> TriBatch:
     """Build a TriBatch; validates strain limits and rest orientation
     (src/TriEnergyTerm.cpp:29-51)."""
@@ -409,7 +410,7 @@ def build_tri_batch(
     weight = np.sqrt(k * area)
     T = tris.shape[0]
     stencil = None
-    if not os.environ.get("ADMM_TPU_NO_STENCIL"):
+    if detect_stencil and not os.environ.get("ADMM_TPU_NO_STENCIL"):
         from admm_elastic_tpu.ops import stencil as stencil_mod
 
         stencil = stencil_mod.verify_tri_grid(tris, base=vertex_offset,
