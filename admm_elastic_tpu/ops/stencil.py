@@ -228,12 +228,14 @@ def tet_Dx_rows(x, b):
     xT = x[base:base + n_vblock].T  # [3, verts] — lane-major stream
     if wrap:
         # Periodic first axis: corner (di,dj,dk) of cell p is vertex
-        # (p + d) mod cells — a flat roll. (Live cells never overflow the
-        # cross-section; dead-lane garbage reads are killed by dl = 0.)
-        xc = [jnp.roll(xT, -d, axis=1) for d in offs]
+        # (p + d) mod cells. One wrap-extended concat turns every modular
+        # read into the same static slices as the non-wrap path. (Live
+        # cells never overflow the cross-section; dead-lane garbage reads
+        # are killed by dl = 0.)
+        xp = jnp.concatenate([xT, xT[:, :maxd]], axis=1)
     else:
         xp = jnp.pad(xT, ((0, 0), (0, cells + maxd - n_vblock)))
-        xc = [jax.lax.slice_in_dim(xp, d, d + cells, axis=1) for d in offs]
+    xc = [jax.lax.slice_in_dim(xp, d, d + cells, axis=1) for d in offs]
     par = b.st_par  # [cells], 1.0 on even cells
     inv = 1.0 - par
     dl = b.st_dl  # [5, 4, 3, cells]
@@ -281,21 +283,17 @@ def tet_Dt_rows(G_rows, b, n_verts):
                 o = inv * contrib
                 acc[he] = e if acc[he] is None else acc[he] + e
                 acc[ho] = o if acc[ho] is None else acc[ho] + o
+    out = jnp.zeros((3, cells + maxd), dtype=G_rows.dtype)
+    for cid, d in enumerate(offs):
+        if acc[cid] is None:
+            continue
+        out = out + jnp.pad(acc[cid], ((0, 0), (d, maxd - d)))
     if wrap:
-        out = jnp.zeros((3, cells), dtype=G_rows.dtype)
-        for cid, d in enumerate(offs):
-            if acc[cid] is None:
-                continue
-            # out[(p + d) mod cells] += acc[p]: dead lanes carry zeros
-            # (w^2 = 0 pre-multiplied), so the rolled writes are exact.
-            out = out + jnp.roll(acc[cid], d, axis=1)
-        outT = out.T
+        # out[(p + d) mod cells] += acc[p]: fold the wrap tail back onto
+        # the head (dead lanes carry zeros — w^2 = 0 pre-multiplied).
+        head = out[:, :maxd] + out[:, cells:cells + maxd]
+        outT = jnp.concatenate([head, out[:, maxd:cells]], axis=1).T
     else:
-        out = jnp.zeros((3, cells + maxd), dtype=G_rows.dtype)
-        for cid, d in enumerate(offs):
-            if acc[cid] is None:
-                continue
-            out = out + jnp.pad(acc[cid], ((0, 0), (d, maxd - d)))
         outT = out[:, :n_vblock].T  # the family's vertex block
     if base == 0 and n_vblock == n_verts:
         return outT
