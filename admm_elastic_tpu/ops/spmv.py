@@ -40,6 +40,10 @@ class BandPlan:
     perm/iperm: optional [N] i64 vertex permutation (row i of the banded
       matrix is vertex perm[i]); None when the native order was used.
     coverage: fraction of off-diagonal nnz captured by the bands.
+    circular: offsets are taken MODULO N (centered) and the apply wraps —
+      the exact form for periodic meshes (ring lattices), whose seam
+      entries sit at j-i = +-(N - d) and would otherwise fall into the
+      rest-ELL gather. Valid for any matrix; chosen when it covers more.
     """
 
     offsets: Tuple[int, ...]
@@ -49,19 +53,25 @@ class BandPlan:
     perm: Optional[np.ndarray]
     iperm: Optional[np.ndarray]
     coverage: float
+    circular: bool = False
 
 
 def _band_split(ell_cols: np.ndarray, ell_vals: np.ndarray,
-                max_bands: int, min_pop: float) -> BandPlan:
+                max_bands: int, min_pop: float,
+                circular: bool = False) -> BandPlan:
     """Split one ordering's ELL into popular diagonals + rest.
 
     A diagonal is kept while it holds >= min_pop * N entries (so band
     storage D*N stays within ~1/min_pop of the nnz it captures) and the
-    band count stays <= max_bands.
+    band count stays <= max_bands. With circular=True offsets are taken
+    modulo N (centered), merging periodic-seam entries into the main
+    diagonals.
     """
     n, k = ell_cols.shape
     live = ell_vals != 0.0
     offs = ell_cols.astype(np.int64) - np.arange(n, dtype=np.int64)[:, None]
+    if circular:
+        offs = (offs % n + n + n // 2) % n - n // 2
     offs_live = offs[live]
     if offs_live.size == 0:
         return BandPlan((), np.zeros((0, n)), ell_cols[:, :0],
@@ -120,6 +130,19 @@ def plan_bands(ell_cols: np.ndarray, ell_vals: np.ndarray,
     scrambles locality.
     """
     native = _band_split(ell_cols, ell_vals, max_bands, min_pop)
+    if native.rest_cols.shape[1] > 0:
+        # Periodic meshes (ring lattices): seam entries merge into the
+        # main diagonals when offsets are taken mod N. The REST drives
+        # the apply cost (each rest column is an [N]-row gather at
+        # ~400M rows/s vs ~0.5 us per extra band stream), so prefer the
+        # split with fewer rest columns, not just higher coverage.
+        circ = dataclasses.replace(
+            _band_split(ell_cols, ell_vals, max_bands, min_pop,
+                        circular=True),
+            circular=True)
+        if (circ.rest_cols.shape[1] < native.rest_cols.shape[1]
+                and circ.coverage >= native.coverage):
+            native = circ
     if native.coverage >= coverage_goal or not try_rcm:
         return native
     try:
@@ -147,6 +170,9 @@ def apply_bands_ref(plan: BandPlan, x: np.ndarray) -> np.ndarray:
     n = xp.shape[0]
     acc = np.zeros_like(xp)
     for d, off in enumerate(plan.offsets):
+        if plan.circular:
+            acc += plan.bands[d, :, None] * xp[(np.arange(n) + off) % n]
+            continue
         lo, hi = max(0, -off), min(n, n - off)
         acc[lo:hi] += plan.bands[d, lo:hi, None] * xp[lo + off:hi + off]
     if plan.rest_cols.shape[1]:

@@ -75,6 +75,9 @@ class PCGData:
     perm: Optional[jax.Array] = None  # i64 [N]
     iperm: Optional[jax.Array] = None  # i64 [N]
     band_offsets: Tuple[int, ...] = ()
+    # Offsets are mod-N (centered) and the apply wraps — periodic meshes
+    # (ops/spmv.py BandPlan.circular).
+    band_circular: bool = False
 
     def diag(self, scale=None):
         d = self.diag_stiff if scale is None else scale * self.diag_stiff
@@ -119,14 +122,19 @@ class PCGData:
         # [3, N] transpose: the shifted fma streams with N on lanes
         # (measured 5.2 us vs 29 us for the [N, 3] layout at 160k tets).
         xT = xb.T
-        lo = -min(self.band_offsets)
-        hi = max(self.band_offsets)
-        xp = jnp.pad(xT, ((0, 0), (max(lo, 0), max(hi, 0))))
-        acc = jnp.zeros_like(xT)
+        lo = max(-min(self.band_offsets), 0)
+        hi = max(max(self.band_offsets), 0)
         n = xT.shape[1]
+        if self.band_circular:
+            # Wrap-extended ends: x[(i+o) mod N] = xp[:, i + lo + o].
+            xp = jnp.concatenate(
+                [xT[:, n - lo:], xT, xT[:, :hi]], axis=1)
+        else:
+            xp = jnp.pad(xT, ((0, 0), (lo, hi)))
+        acc = jnp.zeros_like(xT)
         for i, o in enumerate(self.band_offsets):
             acc = acc + bands[i][None, :] * jax.lax.dynamic_slice_in_dim(
-                xp, max(lo, 0) + o, n, axis=1)
+                xp, lo + o, n, axis=1)
         off = acc.T
         if self.ell_cols.shape[1]:
             vals = self.ell_vals if scale is None else scale * self.ell_vals
@@ -137,7 +145,7 @@ class PCGData:
 jax.tree_util.register_dataclass(
     PCGData,
     data_fields=("ell_cols", "ell_vals", "diag_mass", "diag_stiff", "diag_pin", "agg", "agg_gather", "coarse_inv", "bands", "perm", "iperm"),
-    meta_fields=("band_offsets",),
+    meta_fields=("band_offsets", "band_circular"),
 )
 
 
@@ -156,12 +164,14 @@ def prepare(system, dtype, precond: str = "jacobi",
     ell_cols, ell_vals, diag = assembly.assemble_ell(system, dtype=np.float64)
     bands = perm = iperm = None
     band_offsets = ()
+    band_circular = False
     if spmv_format in ("auto", "bands") and ell_cols.shape[1]:
         from admm_elastic_tpu.ops import spmv
 
         plan = spmv.plan_bands(ell_cols, ell_vals)
         if plan.offsets and (plan.coverage >= 0.9 or spmv_format == "bands"):
             band_offsets = plan.offsets
+            band_circular = plan.circular
             bands = jnp.asarray(plan.bands, dtype=dtype)
             ell_cols = plan.rest_cols
             ell_vals = plan.rest_vals
@@ -204,6 +214,7 @@ def prepare(system, dtype, precond: str = "jacobi",
         perm=perm,
         iperm=iperm,
         band_offsets=band_offsets,
+        band_circular=band_circular,
     )
 
 

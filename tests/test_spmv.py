@@ -42,6 +42,20 @@ def test_band_split_exact_lattice():
         rtol=1e-12, atol=1e-12)
 
 
+def test_band_split_periodic_goes_circular():
+    """A wrapping (periodic) lattice: the seam entries merge into the
+    main diagonals mod N — zero rest, exact circular apply."""
+    cols, vals = _random_ell(pattern="lattice", k=7)
+    plan = spmv.plan_bands(cols, vals)
+    assert plan.circular
+    assert plan.rest_cols.shape[1] == 0
+    assert plan.coverage == 1.0
+    x = np.random.default_rng(7).standard_normal((cols.shape[0], 3))
+    np.testing.assert_allclose(
+        spmv.apply_bands_ref(plan, x), _ell_apply(cols, vals, x),
+        rtol=1e-12, atol=1e-12)
+
+
 def test_band_split_scrambled_uses_rcm():
     cols, vals = _random_ell(pattern="lattice", k=7, scramble=True)
     plan = spmv.plan_bands(cols, vals)
