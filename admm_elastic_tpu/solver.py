@@ -144,12 +144,12 @@ def _make_apply_Ainv(system, solve_data, params, refine_passes: int):
       UzawaCG run at mesh sizes where a dense N x N inverse cannot exist.
     """
     if isinstance(solve_data, pcg_mod.PCGData):
-        precond = solve_data.precondition()
+        precond_T = solve_data.precondition_T()
 
         def apply_Ainv(rhs_, x0=None):
             x0 = jnp.zeros_like(rhs_) if x0 is None else x0
-            xx, _ = pcg_mod.solve(
-                solve_data.apply, precond, rhs_, x0,
+            xx, _ = pcg_mod.solve_T(
+                solve_data.apply_T, precond_T, rhs_, x0,
                 params["uzawa_inner_tol"], params["uzawa_inner_iters"],
             )
             return xx
@@ -263,9 +263,9 @@ def _step_core(
             )
             return x_new, y, act, it
         if linsolver == cfg.PCG:
-            x_new, it = pcg_mod.solve(
-                solve_data.apply,
-                solve_data.precondition(),
+            x_new, it = pcg_mod.solve_T(
+                solve_data.apply_T,
+                solve_data.precondition_T(),
                 b,
                 curr_x,
                 params["pcg_tol"],

@@ -101,9 +101,24 @@ def solve(pcg_data: "pcg_mod.PCGData", hits: con.Hits, ck, b, x0, y,
     # smooth elastic modes, which the (local, well-conditioned-after-
     # rescale) penalty barely perturbs.
     pen_diag = con.CtC_diag(hits, ck, n, dtype)  # [N, 3]
-    precond = _penalty_precond(pcg_data, A_hat, pen_diag)
 
-    x, iters = pcg_mod.solve(A_hat, precond, b_hat, x0, tol, max_iters)
+    if hits.dense and not hits.may_dyn and pcg_data.agg is None:
+        # Lane-major [3, N] CG internals (pcg.solve_T): the dense-surface
+        # penalty is elementwise, so C^T C x = pn * (pn . x) with the
+        # masked ck-scaled normals transposed ONCE per solve.
+        pnT = (jnp.where(hits.p_mask, ck, 0.0)[None, :]
+               * hits.p_normal.T)  # [3, N]
+
+        def A_hat_T(xT):
+            cx = jnp.sum(pnT * xT, axis=0)  # [N] = masked ck n.x
+            return pcg_data.apply_T(xT) + pnT * cx[None, :]
+
+        inv_dT = 1.0 / (pcg_data.diag()[None, :] + pen_diag.T)
+        x, iters = pcg_mod.solve_T(A_hat_T, lambda r: inv_dT * r,
+                                   b_hat, x0, tol, max_iters)
+    else:
+        precond = _penalty_precond(pcg_data, A_hat, pen_diag)
+        x, iters = pcg_mod.solve(A_hat, precond, b_hat, x0, tol, max_iters)
 
     # Scaled multiplier ascent on the active rows.
     rp, rd = con.C_apply(hits, ck, x)

@@ -112,16 +112,33 @@ class PCGData:
         off = self.off_apply(x, scale)
         return self.diag(scale)[:, None] * x + off
 
-    def off_apply(self, x, scale=None):
-        """Off-diagonal apply: banded shift+fma (+ thin rest) or ELL."""
-        if self.bands is None:
-            vals = self.ell_vals if scale is None else scale * self.ell_vals
-            return jnp.sum(vals[:, :, None] * x[self.ell_cols], axis=1)
+    def precondition_T(self, scale=None, omega: float = 0.7):
+        """M^-1 apply on LANE-MAJOR [k, N] vectors (see solve_T).
+
+        Jacobi is layout-native; the two-grid V-cycle (vertex gathers +
+        coarse matmul) keeps its [N, k] form behind boundary transposes.
+        """
+        if self.agg is None:
+            inv_d = (1.0 / self.diag(scale))[None, :]
+            return lambda rT: inv_d * rT
+        m = self.precondition(scale, omega)
+        return lambda rT: m(rT.T).T
+
+    def apply_T(self, xT, scale=None):
+        """A x for LANE-MAJOR xT [k, N] — the CG-internal layout.
+
+        On the banded fast path this skips both per-apply transposes
+        (measured [3, N] streams at 871 GB/s vs 156 for [N, 3]); the
+        rest-ELL / no-bands gather paths transpose at the boundary.
+        """
+        if self.bands is not None and self.perm is None \
+                and not self.ell_cols.shape[1]:
+            off = self._banded_T(xT, scale)
+            return self.diag(scale)[None, :] * xT + off
+        return self.apply(xT.T, scale).T
+
+    def _banded_T(self, xT, scale=None):
         bands = self.bands if scale is None else scale * self.bands
-        xb = x if self.perm is None else x[self.perm]
-        # [3, N] transpose: the shifted fma streams with N on lanes
-        # (measured 5.2 us vs 29 us for the [N, 3] layout at 160k tets).
-        xT = xb.T
         lo = max(-min(self.band_offsets), 0)
         hi = max(max(self.band_offsets), 0)
         n = xT.shape[1]
@@ -135,7 +152,17 @@ class PCGData:
         for i, o in enumerate(self.band_offsets):
             acc = acc + bands[i][None, :] * jax.lax.dynamic_slice_in_dim(
                 xp, lo + o, n, axis=1)
-        off = acc.T
+        return acc
+
+    def off_apply(self, x, scale=None):
+        """Off-diagonal apply: banded shift+fma (+ thin rest) or ELL."""
+        if self.bands is None:
+            vals = self.ell_vals if scale is None else scale * self.ell_vals
+            return jnp.sum(vals[:, :, None] * x[self.ell_cols], axis=1)
+        xb = x if self.perm is None else x[self.perm]
+        # [3, N] transpose: the shifted fma streams with N on lanes
+        # (measured 5.2 us vs 29 us for the [N, 3] layout at 160k tets).
+        off = self._banded_T(xb.T, scale).T
         if self.ell_cols.shape[1]:
             vals = self.ell_vals if scale is None else scale * self.ell_vals
             off = off + jnp.sum(vals[:, :, None] * xb[self.ell_cols], axis=1)
@@ -272,6 +299,53 @@ def solve(A_mv, precond, b, x0, tol, max_iters):
     init = (x0, r0, p0, rz0, jnp.asarray(0, jnp.int32), dot(r0, r0) < tol2)
     x, _, _, _, iters, _ = jax.lax.while_loop(cond, body, init)
     return x, iters
+
+
+def solve_T(A_mv_T, precond_T, b, x0, tol, max_iters):
+    """solve() with LANE-MAJOR [k, N] internals.
+
+    CG spends its non-apply time in axpys/dots over the state vectors;
+    the [N, 3] layout streams at 156 GB/s vs 871 for [3, N] (DESIGN.md
+    hw probes), so the iteration loop runs transposed — two boundary
+    transposes per SOLVE instead of several slow passes per ITERATION.
+    A_mv_T / precond_T consume and produce [k, N] (PCGData.apply_T /
+    precondition_T). b, x0 and the returned x stay [N, k].
+    """
+    bT = b.T
+    x0T = x0.T
+
+    def dot(a, b_):
+        return jnp.sum(a * b_)
+
+    b_norm2 = dot(bT, bT)
+    tol = jnp.maximum(tol, 64 * jnp.finfo(b.dtype).eps)
+    tol2 = tol * tol * jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny)
+
+    r0 = bT - A_mv_T(x0T)
+    z0 = precond_T(r0)
+    rz0 = dot(r0, z0)
+
+    def cond(carry):
+        _, r, _, _, k, done = carry
+        return (~done) & (k < max_iters)
+
+    def body(carry):
+        (x, r, p, rz, k, _) = carry
+        Ap = A_mv_T(p)
+        denom = dot(p, Ap)
+        alpha = rz / jnp.where(jnp.abs(denom) < jnp.finfo(b.dtype).tiny, 1.0, denom)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond_T(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < jnp.finfo(b.dtype).tiny, 1.0, rz)
+        p = z + beta * p
+        done = dot(r, r) < tol2
+        return (x, r, p, rz_new, k + 1, done)
+
+    init = (x0T, r0, z0, rz0, jnp.asarray(0, jnp.int32), dot(r0, r0) < tol2)
+    xT, _, _, _, iters, _ = jax.lax.while_loop(cond, body, init)
+    return xT.T, iters
 
 
 def solve_traced(A_mv, precond, b, x0, n_iters: int, x_star=None,
