@@ -149,16 +149,23 @@ def main():
         scale = max(abs(cpu).max(), 1e-9)
         err = abs(acc - cpu).max() / scale
         # Per-scene bound: the default 2e-3 is ~300x the typical
-        # backend-reassociation noise. The NH-PCG beam is the one scene
-        # whose f32 trajectory is measurably chaotic: a single benign
+        # backend-reassociation noise. The NH-PCG scenes are the ones
+        # whose f32 trajectories are measurably chaotic: a single benign
         # op-reordering (stencil vs gather D, SAME backend) differs
         # 7.1e-6 after one step and 3.1e-3 after the 8 steps compared
         # here (measured r3, /tmp/stencil_check.py protocol) — Lyapunov
-        # amplification ~2x/step. Its bound is therefore 1e-2: still
-        # catches the miscompile class this harness exists for (the
-        # fusion bugs found in r1/r2 produced O(1) divergence or NaNs),
-        # without flagging rounding-profile changes.
-        bound = 1e-2 if name == "beam_nh_pcg" else 2e-3
+        # amplification ~2x/step. The torus (floppier: pinned at one
+        # ring) is the same class: benchmarks/torus_bisect2.py measured
+        # every INDIVIDUAL op bit-identical across backends (rel_err
+        # 0.0 for Dx/DtW2/apply/apply_T on identical inputs) while the
+        # fused step wanders 1.6e-4 (step 1) to ~5e-3 (step 7), and
+        # torus_bisect.py showed swapping ANY op ordering (bands<->ELL,
+        # stencil<->gather) redraws the outcome between 2e-5 and 4e-3.
+        # Their bound is therefore 1e-2: still catches the miscompile
+        # class this harness exists for (the fusion bugs found in r1/r2
+        # produced O(1) divergence or NaNs), without flagging
+        # rounding-profile changes.
+        bound = 1e-2 if name in ("beam_nh_pcg", "torus_nh_pcg") else 2e-3
         ok = bool((err < bound) and __import__("numpy").isfinite(acc).all())
         print(json.dumps({"scene": name, "rel_err": float(f"{err:.3e}"),
                           "ok": ok}))
