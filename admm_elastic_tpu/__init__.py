@@ -26,7 +26,7 @@ of https://github.com/mattoverby/admm-elastic.
 from admm_elastic_tpu.config import Settings
 from admm_elastic_tpu.materials import Lame
 from admm_elastic_tpu.solver import Solver
-from admm_elastic_tpu.collision.passive import Floor, Sphere, PassiveMeshSDF
+from admm_elastic_tpu.collision.passive import Floor, Sphere, PassiveMeshSDF, PassiveMeshExact
 
 __version__ = "0.2.0"
 
@@ -37,4 +37,5 @@ __all__ = [
     "Floor",
     "Sphere",
     "PassiveMeshSDF",
+    "PassiveMeshExact",
 ]

@@ -35,6 +35,7 @@ SCENES = [
     ("selfcollision_gs", dict(kind="boxes", model="linear", ls=1)),
     ("sphere_obstacle_gs", dict(kind="sphere", model="linear", ls=1)),
     ("sdf_obstacle_gs", dict(kind="sdf", model="linear", ls=1)),
+    ("exactmesh_obstacle_gs", dict(kind="exactmesh", model="linear", ls=1)),
     ("torus_nh_pcg", dict(kind="torus", model="neohookean", ls=3)),
 ]
 
@@ -102,6 +103,17 @@ def run_scene(kind, model, ls, wind=False):
         mesh.apply_xform(make_xform(trans=(0.4, 1.0, 0.4)))
         binding.add_tetmesh(solver, mesh, Lame.soft_rubber(), verbose=False)
         solver.add_obstacle(sdf)
+    elif kind == "exactmesh":
+        from admm_elastic_tpu.collision.passive import PassiveMeshExact
+
+        obs = make_tet_blocks(4, 2, 4, cell=0.5)
+        obs.apply_xform(make_xform(trans=(0.0, -1.0, 0.0)))
+        exact = PassiveMeshExact.from_tet_mesh(obs.vertices, obs.tets, cells=16)
+        mesh = make_tet_blocks(3, 2, 2, cell=0.4)
+        mesh.flags = binding.NOSELFCOLLISION | flag
+        mesh.apply_xform(make_xform(trans=(0.4, 1.0, 0.4)))
+        binding.add_tetmesh(solver, mesh, Lame.soft_rubber(), verbose=False)
+        solver.add_obstacle(exact)
     elif kind == "torus":
         from admm_elastic_tpu.geometry.factory import make_tet_torus
 

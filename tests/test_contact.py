@@ -436,3 +436,82 @@ def test_mesh_sdf_obstacle_rest():
     # allows a small tolerance).
     assert x[:, 1].min() > -0.15, f"sank into SDF box: min y {x[:, 1].min()}"
     assert x[:, 1].min() < 0.15, "hovering above the box"
+
+
+def test_mesh_exact_obstacle_oracle():
+    """PassiveMeshExact vs a brute-force all-triangles/all-tets oracle.
+
+    The exact narrow phase (reference PassiveMesh semantics,
+    src/PassiveObject.hpp:67-107: point-in-tet inside test +
+    nearest-surface-triangle projection) must agree with an O(P*F)
+    exhaustive evaluation bit-for-bit wherever the query is within the
+    grid's capture radius: same signed distance, a projection point at
+    exactly |dx| from the query, and an outward normal.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from admm_elastic_tpu.collision.passive import (
+        PassiveMeshExact, _point_tri_distance_np, _points_in_tets_np)
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks
+    from admm_elastic_tpu.geometry.mesh import surface_faces_from_tets
+
+    obs = make_tet_blocks(4, 2, 4, cell=0.25)
+    m = PassiveMeshExact.from_tet_mesh(obs.vertices, obs.tets, cells=16)
+
+    rng = np.random.default_rng(0)
+    lo = obs.vertices.min(0) - 0.05
+    hi = obs.vertices.max(0) + 0.05
+    pts = rng.uniform(lo, hi, size=(2000, 3))
+    faces = surface_faces_from_tets(obs.tets)
+    d_ref = _point_tri_distance_np(pts, obs.vertices, faces)
+    ins_ref = _points_in_tets_np(pts, obs.vertices, obs.tets)
+    sd_ref = np.where(ins_ref, -d_ref, d_ref)
+
+    dx, point, normal = (np.asarray(v) for v in m.signed_distance(jnp.asarray(pts)))
+    # capture radius = 2 cells; h = max extent / 16.
+    near = np.abs(sd_ref) < 0.1
+    assert near.sum() > 500
+    assert np.abs(dx - sd_ref)[near].max() < 1e-12
+    pn = np.linalg.norm(pts - point, axis=-1)
+    assert np.abs(pn - np.abs(dx))[near].max() < 1e-12
+    dots = ((pts - point) * normal).sum(-1) / np.maximum(pn, 1e-30)
+    out = near & (sd_ref > 1e-6)
+    inn = near & (sd_ref < -1e-6)
+    assert dots[out].min() > 0.5, "normal not outward for outside points"
+    assert dots[inn].max() < -0.5, "normal not outward for inside points"
+    # Far-away points (outside the candidate grid) report no-hit.
+    far = np.asarray(m.signed_distance(jnp.asarray(lo - 5.0))[0])
+    assert far > 1e20
+
+
+def test_mesh_exact_obstacle_rest():
+    """Beam dropped onto an exact-mesh box obstacle rests ON its surface.
+
+    Same scene as test_mesh_sdf_obstacle_rest but through the exact
+    narrow phase: the resting tolerance tightens from the voxel blur
+    (~0.15) to contact-solver resolution (~0.02).
+    """
+    import numpy as np
+
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.collision.passive import PassiveMeshExact
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks, make_xform
+
+    obs = make_tet_blocks(4, 2, 4, cell=0.5)
+    obs.apply_xform(make_xform(trans=(0.0, -1.0, 0.0)))
+    exact = PassiveMeshExact.from_tet_mesh(obs.vertices, obs.tets, cells=24)
+
+    mesh = make_tet_blocks(3, 2, 2, cell=0.4)
+    mesh.flags = binding.NOSELFCOLLISION | binding.LINEAR
+    mesh.apply_xform(make_xform(trans=(0.4, 1.0, 0.4)))
+    s = Solver()
+    binding.add_tetmesh(s, mesh, Lame.soft_rubber(), verbose=False)
+    s.add_obstacle(exact)
+    st = Settings(verbose=0, admm_iters=10, linsolver=1, gravity=-9.8)
+    assert s.initialize(st)
+    s.run(40)
+    x = np.asarray(s.x)
+    assert np.isfinite(x).all()
+    assert x[:, 1].min() > -0.02, f"sank into exact box: min y {x[:, 1].min()}"
+    assert x[:, 1].min() < 0.05, "hovering above the box"
