@@ -1,0 +1,97 @@
+"""On-chip cost of the passive-obstacle narrow phases (r3).
+
+DESIGN.md's mesh-obstacle section predicts the exact narrow phase sits in
+the ~3 GB/s gather regime (~K_f + K_t candidate rows per query) while the
+voxel SDF costs ~8 lattice-corner gathers and the analytic floor is free.
+This lab measures all three on the same scene so the claim is a number:
+a soft block dropped onto (a) an analytic floor, (b) a voxel-SDF slab,
+(c) an exact-mesh slab, stepped with AL-PCG (ls=4) at two body sizes.
+Detection runs every ADMM iteration (reference semantics), so the
+per-step delta / (admm_iters * n_verts) is the per-query cost.
+
+Usage: bash benchmarks/tpu_run.sh /tmp/obstacle_lab.log 3000 600 \
+    python -u benchmarks/obstacle_lab.py
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from matrix import _time, ADMM_ITERS  # noqa: E402
+
+
+def build(kind, nx):
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.collision.passive import (
+        Floor, PassiveMeshExact, PassiveMeshSDF)
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks, make_xform
+
+    body = make_tet_blocks(nx, nx // 2, nx // 2, cell=3.0 / nx)
+    body.flags = binding.NOSELFCOLLISION | binding.LINEAR
+    body.apply_xform(make_xform(trans=(0.5, 0.3, 0.5)))
+    solver = Solver()
+    binding.add_tetmesh(solver, body, Lame.soft_rubber(), verbose=False)
+
+    if kind == "floor":
+        solver.add_obstacle(Floor(y=jnp.asarray(0.0)))
+    else:
+        slab = make_tet_blocks(10, 2, 10, cell=0.5)
+        slab.apply_xform(make_xform(trans=(-0.5, -1.0, -0.5)))
+        if kind == "sdf":
+            solver.add_obstacle(PassiveMeshSDF.from_tet_mesh(
+                slab.vertices, slab.tets, resolution=48))
+        else:
+            solver.add_obstacle(PassiveMeshExact.from_tet_mesh(
+                slab.vertices, slab.tets, cells=32))
+    st = Settings(verbose=0, admm_iters=ADMM_ITERS, linsolver=4,
+                  gravity=-9.8, dtype=np.float32)
+    assert solver.initialize(st)
+    return solver
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jnp.asarray([1.0]).block_until_ready()
+    print(f"handshake ok: {jax.devices()}", flush=True)
+
+    for nx in (16, 32):
+        base_ms = None
+        for kind in ("floor", "sdf", "exact"):
+            solver = build(kind, nx)
+            n_verts = int(np.asarray(solver.x).shape[0])
+            solver.run(10)  # settle into contact
+            jax.block_until_ready(solver.state.x)
+            # Contact here is frictionless (reference Uzawa/penalty
+            # semantics; only NCMCGS's tangent projection is sticky), so
+            # the body slowly slides and eventually falls off the finite
+            # slab (~step 350 measured on CPU). Cap the calibrated
+            # rollout so every timed step is an in-contact step.
+            dt = _time(solver, steps=10, target_s=0.3, max_steps=40)
+            ms = dt * 1e3
+            x = np.asarray(solver.state.x)
+            rec = {
+                "kind": kind, "nx": nx, "n_verts": n_verts,
+                "ms_per_step": round(ms, 3),
+                "min_y": round(float(x[:, 1].min()), 4),
+            }
+            assert x[:, 1].min() > -0.5, "left contact during timing"
+            if kind == "floor":
+                base_ms = ms
+            else:
+                # detection runs once per ADMM iteration
+                per_query_ns = (ms - base_ms) * 1e6 / (ADMM_ITERS * n_verts)
+                rec["delta_ms_vs_floor"] = round(ms - base_ms, 3)
+                rec["ns_per_query"] = round(per_query_ns, 1)
+            print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
