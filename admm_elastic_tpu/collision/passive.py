@@ -74,49 +74,72 @@ jax.tree_util.register_dataclass(Sphere, data_fields=("center", "rad"), meta_fie
 class PassiveMeshSDF:
     """Voxel-grid SDF obstacle (TPU-native replacement for PassiveMesh).
 
-    grid [Gx, Gy, Gz] signed distances sampled on a regular lattice with
-    origin `origin` and spacing `h`. Queries use trilinear interpolation;
-    normals are central differences of the interpolant; the projection
-    point is x - dx * normal.
+    Packed lane layout (r4): ``vals4`` [Gx*Gy*Gz, 4] holds
+    (sdf, d/dx, d/dy, d/dz) at every lattice node, node gradients baked by
+    central differences host-side. A query is then ONE 8-row gather (the
+    cube corners, constant flat offsets) + a trilinear blend of all four
+    channels — the r3 form re-sampled the value grid 7 times (center + 6
+    gradient offsets) = 56 corner gathers/query, and XLA:TPU gathers run
+    ~3 GB/s at any locality (DESIGN.md), so detection dominated mesh-
+    obstacle steps at scale (61-90 ms at 9.5k queries, OBSTACLE_LAB r3).
+    The normal is the interpolated node gradient instead of the gradient
+    of the interpolant — both are O(h) approximations of the true normal
+    and sit inside the measured O(h) accuracy envelope
+    (tests/test_parity.py::test_mesh_obstacle_sdf_accuracy).
+
+    The projection point is x - dx * normal, payload convention as above.
     """
 
-    grid: jax.Array  # [Gx, Gy, Gz]
+    vals4: jax.Array  # [Gx*Gy*Gz, 4] packed (value, grad xyz) per node
     origin: jax.Array  # [3]
     h: jax.Array  # scalar spacing
-
-    def _sample(self, x):
-        g = self.grid
-        shape = jnp.asarray(g.shape, dtype=x.dtype)
-        u = (x - self.origin) / self.h
-        u = jnp.clip(u, 0.0, shape - 1.000001)
-        i0 = jnp.floor(u).astype(jnp.int32)
-        f = u - i0.astype(x.dtype)
-        ix, iy, iz = i0[..., 0], i0[..., 1], i0[..., 2]
-
-        def at(dx_, dy_, dz_):
-            return g[ix + dx_, iy + dy_, iz + dz_]
-
-        c00 = at(0, 0, 0) * (1 - f[..., 2]) + at(0, 0, 1) * f[..., 2]
-        c01 = at(0, 1, 0) * (1 - f[..., 2]) + at(0, 1, 1) * f[..., 2]
-        c10 = at(1, 0, 0) * (1 - f[..., 2]) + at(1, 0, 1) * f[..., 2]
-        c11 = at(1, 1, 0) * (1 - f[..., 2]) + at(1, 1, 1) * f[..., 2]
-        c0 = c00 * (1 - f[..., 1]) + c01 * f[..., 1]
-        c1 = c10 * (1 - f[..., 1]) + c11 * f[..., 1]
-        return c0 * (1 - f[..., 0]) + c1 * f[..., 0]
+    dims: tuple  # (Gx, Gy, Gz) static
 
     def signed_distance(self, x):
-        dx = self._sample(x)
-        eps = 0.5 * self.h
-        grads = []
-        for axis in range(3):
-            # Constant basis vector (NOT zeros().at[axis].set: this XLA:TPU
-            # build can miscompile that scatter-set in fused programs).
-            e = eps * jnp.eye(3, dtype=x.dtype)[axis]
-            grads.append((self._sample(x + e) - self._sample(x - e)) / (2.0 * eps))
-        n = jnp.stack(grads, axis=-1)
+        dtype = x.dtype
+        gx, gy, gz = self.dims
+        shape = jnp.asarray((gx, gy, gz), dtype=dtype)
+        u = (x - self.origin.astype(dtype)) / self.h.astype(dtype)
+        u = jnp.clip(u, 0.0, shape - 1.000001)
+        i0 = jnp.floor(u).astype(jnp.int32)
+        f = u - i0.astype(dtype)
+        base = (i0[..., 0] * gy + i0[..., 1]) * gz + i0[..., 2]
+        # Constant corner offsets, dk fastest — order must match `w` below.
+        offs = jnp.asarray(
+            [(di * gy + dj) * gz + dk
+             for di in (0, 1) for dj in (0, 1) for dk in (0, 1)],
+            dtype=jnp.int32)
+        rows = self.vals4[base[..., None] + offs].astype(dtype)  # [..., 8, 4]
+        wx = jnp.stack([1.0 - f[..., 0], f[..., 0]], axis=-1)
+        wy = jnp.stack([1.0 - f[..., 1], f[..., 1]], axis=-1)
+        wz = jnp.stack([1.0 - f[..., 2], f[..., 2]], axis=-1)
+        w = jnp.stack(
+            [wx[..., di] * wy[..., dj] * wz[..., dk]
+             for di in (0, 1) for dj in (0, 1) for dk in (0, 1)],
+            axis=-1)  # [..., 8]
+        # Elementwise multiply-add (VPU), NOT einsum/matmul: the MXU's
+        # default f32 path is bf16 passes (env hazard 1) and this blend is
+        # contact geometry.
+        vals = jnp.sum(w[..., None] * rows, axis=-2)  # [..., 4]
+        dx = vals[..., 0]
+        n = vals[..., 1:]
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
         point = x - dx[..., None] * n
         return dx, point, n
+
+    @staticmethod
+    def from_grid(grid: np.ndarray, origin, h):
+        """Pack a raw [Gx, Gy, Gz] value grid: bake node gradients by
+        central differences (one-sided at the boundary) into vals4."""
+        grid = np.asarray(grid, dtype=np.float64)
+        h = float(h)
+        grad = np.stack(np.gradient(grid, h), axis=-1)  # [Gx, Gy, Gz, 3]
+        vals4 = np.concatenate([grid[..., None], grad], axis=-1)
+        return PassiveMeshSDF(
+            vals4=jnp.asarray(vals4.reshape(-1, 4)),
+            origin=jnp.asarray(np.asarray(origin, dtype=np.float64)),
+            h=jnp.asarray(h), dims=tuple(int(d) for d in grid.shape),
+        )
 
     @staticmethod
     def from_tet_mesh(verts: np.ndarray, tets: np.ndarray, resolution: int = 48, pad: float = 0.1):
@@ -140,13 +163,11 @@ class PassiveMeshSDF:
         faces = surface_faces_from_tets(tets)
         dist = _point_tri_distance_np(pts, verts, faces)
         sdf = np.where(inside, -dist, dist).reshape(tuple(dims))
-        return PassiveMeshSDF(
-            grid=jnp.asarray(sdf), origin=jnp.asarray(lo), h=jnp.asarray(h)
-        )
+        return PassiveMeshSDF.from_grid(sdf, lo, h)
 
 
 jax.tree_util.register_dataclass(
-    PassiveMeshSDF, data_fields=("grid", "origin", "h"), meta_fields=()
+    PassiveMeshSDF, data_fields=("vals4", "origin", "h"), meta_fields=("dims",)
 )
 
 
@@ -173,14 +194,20 @@ class PassiveMeshExact:
 
     Accuracy envelope: exact (same answer as the reference's BVH, up to
     roundoff) whenever the penetration depth is at most the capture
-    radius (default 2 grid cells). Deeper points are still *detected*
-    inside exactly, but if no surface triangle falls in the candidate
-    list the query reports no-hit for that step rather than projecting
-    to a wrong triangle; ``from_tet_mesh`` sizes the grid so the capture
-    radius is ~2x the obstacle's mean surface-edge length, far beyond
-    per-step contact penetration. Use PassiveMeshSDF when throughput
-    matters more than sharp features (the SDF is one gather per query;
-    this is ~K_f+K_t gathered candidate rows per query).
+    radius (default 2 grid cells). Deeper points — the regime where the
+    reference's BVH still finds the nearest triangle at ANY depth
+    (src/PassiveObject.hpp:85-91) — take the DEEP-PENETRATION FALLBACK:
+    lanes that test inside (exact at any depth) but have no candidate
+    triangle are compacted to a fixed-capacity set of ``fallback_lanes``
+    rows and projected by a brute-force argmin over ALL surface
+    triangles, so a fast body keeps its restoring constraint exactly
+    when penetration is worst. The fallback runs under a lax.cond, so
+    steady shallow contact never pays its O(K*F) cost; if more than
+    ``fallback_lanes`` queries are simultaneously that deep, the extras
+    report no-hit for the step (raise the capacity via ``from_tet_mesh``
+    for pathological scenes). Use PassiveMeshSDF when throughput matters
+    more than sharp features (the SDF is one gather per query; this is
+    ~K_f+K_t gathered candidate rows per query).
     """
 
     tri_a: jax.Array  # [F, 3]
@@ -198,26 +225,17 @@ class PassiveMeshExact:
     origin: jax.Array  # [3]
     h: jax.Array  # scalar cell size
     dims: tuple  # (Gx, Gy, Gz) static
+    fallback_lanes: int = 128  # deep-penetration fallback capacity (static)
 
-    def signed_distance(self, x):
-        dtype = x.dtype
-        lead = x.shape[:-1]
-        p = x.reshape(-1, 3)
+    def _closest_feature(self, p, fids, fmask):
+        """Exact closest point + pseudonormal over candidate triangles.
+
+        p [V, 3]; fids [V, K] rows into the triangle soup; fmask [V, K].
+        Returns (dist [V], closest [V,3], normal [V,3], any_face [V]).
+        """
+        dtype = p.dtype
         big = jnp.asarray(1e30, dtype)
-
-        dims = jnp.asarray(self.dims, dtype=jnp.int32)
-        u = (p - self.origin.astype(dtype)) / self.h.astype(dtype)
-        ci = jnp.floor(u).astype(jnp.int32)
-        in_grid = jnp.all((ci >= 0) & (ci < dims), axis=-1)
-        cic = jnp.clip(ci, 0, dims - 1)
-        cid = (cic[:, 0] * dims[1] + cic[:, 1]) * dims[2] + cic[:, 2]
-
-        # Narrow phase: exact closest point over the cell's candidate tris.
-        kf = self.face_table.shape[1]
-        fids = self.face_table[cid]  # [V, Kf]
-        fmask = (jnp.arange(kf, dtype=jnp.int32)[None, :] < self.face_count[cid][:, None])
-        fmask = fmask & in_grid[:, None]
-        a = self.tri_a[fids].astype(dtype)  # [V, Kf, 3]
+        a = self.tri_a[fids].astype(dtype)  # [V, K, 3]
         b = self.tri_b[fids].astype(dtype)
         c = self.tri_c[fids].astype(dtype)
         closest, v, w = _pt_tri_closest(p[:, None, :], a, b, c)
@@ -245,6 +263,27 @@ class PassiveMeshExact:
         n = jnp.where((v_s >= 1.0 - eps)[:, None], nv[:, 1], n)  # vertex b
         n = jnp.where(((v_s <= eps) & (w_s <= eps))[:, None], nv[:, 0], n)
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
+        return dist, cl, n, any_face
+
+    def signed_distance(self, x):
+        dtype = x.dtype
+        lead = x.shape[:-1]
+        p = x.reshape(-1, 3)
+        big = jnp.asarray(1e30, dtype)
+
+        dims = jnp.asarray(self.dims, dtype=jnp.int32)
+        u = (p - self.origin.astype(dtype)) / self.h.astype(dtype)
+        ci = jnp.floor(u).astype(jnp.int32)
+        in_grid = jnp.all((ci >= 0) & (ci < dims), axis=-1)
+        cic = jnp.clip(ci, 0, dims - 1)
+        cid = (cic[:, 0] * dims[1] + cic[:, 1]) * dims[2] + cic[:, 2]
+
+        # Narrow phase: exact closest point over the cell's candidate tris.
+        kf = self.face_table.shape[1]
+        fids = self.face_table[cid]  # [V, Kf]
+        fmask = (jnp.arange(kf, dtype=jnp.int32)[None, :] < self.face_count[cid][:, None])
+        fmask = fmask & in_grid[:, None]
+        dist, cl, n, any_face = self._closest_feature(p, fids, fmask)
 
         # Inside test: exact point-in-tet over the cell's candidate tets.
         kt = self.tet_table.shape[1]
@@ -261,13 +300,44 @@ class PassiveMeshExact:
         ins = (bco >= -tol).all(-1) & (bco.sum(-1) <= 1.0 + tol) & tmask
         inside = jnp.any(ins, axis=-1)
 
+        # Deep-penetration fallback (reference src/PassiveObject.hpp:85-91
+        # finds the nearest triangle at ANY depth): lanes that are inside
+        # the solid but deeper than the grid's capture radius have no
+        # candidate triangle; compact up to `fallback_lanes` of them and
+        # project against ALL surface triangles. Guarded by lax.cond so
+        # steady shallow contact never pays the O(K*F) brute force.
+        need_fb = inside & ~any_face
+        k_fb = min(int(self.fallback_lanes), p.shape[0])
+        n_tris = self.tri_a.shape[0]
+        if k_fb > 0 and n_tris > 0:
+            def _deep_project(args):
+                dist_, cl_, n_, any_ = args
+                _, sel = jax.lax.top_k(need_fb.astype(jnp.int32), k_fb)
+                sel_mask = need_fb[sel]  # [K]
+                all_f = jnp.broadcast_to(
+                    jnp.arange(n_tris, dtype=jnp.int32)[None, :],
+                    (k_fb, n_tris))
+                dist_f, cl_f, n_f, any_f = self._closest_feature(
+                    p[sel], all_f,
+                    jnp.broadcast_to(sel_mask[:, None], (k_fb, n_tris)))
+                keep = lambda new, old, m: jnp.where(m, new, old)
+                dist_ = dist_.at[sel].set(keep(dist_f, dist_[sel], sel_mask))
+                cl_ = cl_.at[sel].set(keep(cl_f, cl_[sel], sel_mask[:, None]))
+                n_ = n_.at[sel].set(keep(n_f, n_[sel], sel_mask[:, None]))
+                any_ = any_.at[sel].set(keep(any_f, any_[sel], sel_mask))
+                return dist_, cl_, n_, any_
+
+            dist, cl, n, any_face = jax.lax.cond(
+                jnp.any(need_fb), _deep_project, lambda args: args,
+                (dist, cl, n, any_face))
+
         sgn = jnp.where(inside, -1.0, 1.0).astype(dtype)
         dx = jnp.where(any_face, sgn * dist, big)
         return dx.reshape(lead), cl.reshape(lead + (3,)), n.reshape(lead + (3,))
 
     @staticmethod
     def from_tet_mesh(verts: np.ndarray, tets: np.ndarray, cells: int = 32,
-                      capture_cells: float = 2.0):
+                      capture_cells: float = 2.0, fallback_lanes: int = 128):
         """Bake the candidate grid from a closed tet mesh (host, numpy).
 
         ``cells`` grid cells along the longest AABB axis; every cell lists
@@ -361,6 +431,7 @@ class PassiveMeshExact:
             face_table=jnp.asarray(face_table), face_count=jnp.asarray(face_count),
             tet_table=jnp.asarray(tet_table), tet_count=jnp.asarray(tet_count),
             origin=jarr(lo), h=jnp.asarray(float(h)), dims=dims,
+            fallback_lanes=int(fallback_lanes),
         )
 
 
@@ -371,7 +442,7 @@ jax.tree_util.register_dataclass(
         "tet_base", "tet_einv", "face_table", "face_count",
         "tet_table", "tet_count", "origin", "h",
     ),
-    meta_fields=("dims",),
+    meta_fields=("dims", "fallback_lanes"),
 )
 
 

@@ -515,3 +515,96 @@ def test_mesh_exact_obstacle_rest():
     assert np.isfinite(x).all()
     assert x[:, 1].min() > -0.02, f"sank into exact box: min y {x[:, 1].min()}"
     assert x[:, 1].min() < 0.05, "hovering above the box"
+
+
+def test_mesh_exact_deep_penetration_oracle():
+    """Deep-penetration fallback vs the brute-force global-nearest oracle.
+
+    Points deeper inside the solid than the grid's capture radius have no
+    candidate triangle in their cell; the reference's BVH still projects
+    them to the global nearest surface triangle at ANY depth
+    (src/PassiveObject.hpp:85-91). The fallback must reproduce that:
+    exact signed distance, projection at |dx|, inward-facing query ray.
+    (Before r4 these lanes silently reported no-hit.)
+    """
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu.collision.passive import (
+        PassiveMeshExact, _point_tri_distance_np)
+    from admm_elastic_tpu.geometry.mesh import surface_faces_from_tets
+
+    obs = make_tet_blocks(4, 2, 4, cell=0.25)  # [0,1]x[0,0.5]x[0,1]
+    m = PassiveMeshExact.from_tet_mesh(obs.vertices, obs.tets, cells=16)
+    capture = 2.0 * float(np.asarray(m.h))  # = 0.125
+
+    rng = np.random.default_rng(1)
+    # Mid-slab points: depth to every face >= 0.2 > capture radius.
+    pts = rng.uniform([0.3, 0.2, 0.3], [0.7, 0.3, 0.7], size=(60, 3))
+    faces = surface_faces_from_tets(obs.tets)
+    d_ref = _point_tri_distance_np(pts, obs.vertices, faces)
+    assert d_ref.min() > capture, "test points must exceed the capture radius"
+
+    dx, point, normal = (np.asarray(v)
+                         for v in m.signed_distance(jnp.asarray(pts)))
+    assert (dx < 0).all(), "deep inside points must report penetration"
+    assert np.abs(dx + d_ref).max() < 1e-12, "fallback distance != global nearest"
+    pn = np.linalg.norm(pts - point, axis=-1)
+    assert np.abs(pn - np.abs(dx)).max() < 1e-12
+    dots = ((pts - point) * normal).sum(-1) / np.maximum(pn, 1e-30)
+    assert dots.max() < -0.5, "normal must face outward (query is inside)"
+
+
+def test_mesh_exact_deep_penetration_capacity():
+    """More deep lanes than fallback capacity: extras degrade to the old
+    no-hit semantics (never a wrong projection), the capacity's worth get
+    exact answers."""
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu.collision.passive import PassiveMeshExact
+
+    obs = make_tet_blocks(4, 2, 4, cell=0.25)
+    m = PassiveMeshExact.from_tet_mesh(obs.vertices, obs.tets, cells=16,
+                                       fallback_lanes=4)
+    rng = np.random.default_rng(2)
+    pts = rng.uniform([0.3, 0.2, 0.3], [0.7, 0.3, 0.7], size=(50, 3))
+    dx = np.asarray(m.signed_distance(jnp.asarray(pts))[0])
+    assert (dx < 0).sum() == 4, "exactly the fallback capacity projects"
+    assert (dx[dx > 0] > 1e20).all(), "overflow lanes report no-hit"
+
+
+def test_mesh_exact_deep_impact_restores():
+    """A body slammed >2 capture radii into the slab in ONE step keeps its
+    restoring constraint (pre-r4: silent no-hit exactly at the deepest
+    moment) and is pushed back out instead of sinking through."""
+    from admm_elastic_tpu.collision.passive import PassiveMeshExact
+
+    # Slab [0,1.5]x[-0.5,0]x[0,1.5]; cells=24 -> h=0.0625, capture=0.125.
+    obs = make_tet_blocks(6, 2, 6, cell=0.25)
+    obs.apply_xform(make_xform(trans=(0.0, -0.5, 0.0)))
+    exact = PassiveMeshExact.from_tet_mesh(obs.vertices, obs.tets, cells=24,
+                                           fallback_lanes=256)
+
+    body = make_tet_blocks(2, 2, 2, cell=0.15)
+    body.flags = binding.NOSELFCOLLISION | binding.LINEAR
+    body.apply_xform(make_xform(trans=(0.6, 0.02, 0.6)))
+    s = Solver()
+    binding.add_tetmesh(s, body, Lame.soft_rubber(), verbose=False)
+    s.add_obstacle(exact)
+    st = Settings(verbose=0, admm_iters=10, linsolver=1, gravity=-9.8)
+    assert s.initialize(st)
+    # One step at dt=1/24 with v=-7 drives the bottom face ~0.29 deep:
+    # more than twice the 0.125 capture radius, well inside the 0.5 slab.
+    v0 = np.zeros_like(s.v)
+    v0[:, 1] = -7.0
+    s.v = v0
+    s.step()
+    x1 = np.asarray(s.x)
+    assert np.isfinite(x1).all()
+    # With no constraint the body would be at ~0.02 - 7/24 = -0.27; the
+    # restoring projection must have recovered most of that in-step.
+    assert x1[:, 1].min() > -0.15, f"no restoring constraint: {x1[:, 1].min()}"
+    s.run(20)
+    x = np.asarray(s.x)
+    assert np.isfinite(x).all()
+    assert x[:, 1].min() > -0.05, f"sank through the slab: {x[:, 1].min()}"
+    assert x[:, 1].min() < 0.1, "hovering above the slab"
