@@ -78,6 +78,98 @@ def test_shard_axis_partitions_and_communicates():
                                atol=1e-9)
 
 
+def test_shard_stencil_lattice_partitions_and_matches():
+    """The flat-stencil D/D^T under a GSPMD shard axis (VERDICT r3 weak #5).
+
+    The 15x7x7 lattices in the other sharding proofs carry ~23% stencil
+    padding, which trips `_debloat_for_throughput`'s 15% threshold and
+    silently rebuilds gather-path batches — so the static-slice stencil
+    addressing (lax.slice / pad / concatenate on the vertex stream) had
+    never compiled under a shard axis. This lattice (7x12x12: 14.8%
+    padding, 1352 verts % 8 == 0) survives the debloat; the test asserts
+    retention explicitly, then collectives + partitioned shards + sharded
+    == unsharded.
+    """
+    from admm_elastic_tpu.parallel.batch import (
+        _debloat_for_throughput, make_batched_step, make_scenario_batch)
+
+    solver = _beam_solver(7, 12, 12)
+    n_verts = solver._n_verts
+    assert n_verts == 1352
+    # Stencil detected at build AND retained by the batching debloat.
+    assert solver.system.tets[0].stencil is not None
+    assert _debloat_for_throughput(solver, solver.system) is solver.system, \
+        "stencil batches were debloated — the test no longer covers them"
+
+    n_shard = 8
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(1, n_shard),
+                axis_names=("scene", "shard"))
+    batch = make_scenario_batch(solver, 1)
+    step = make_batched_step(solver, mesh=mesh, donate=False)
+
+    hlo = step.lower(batch).compile().as_text()
+    assert any(op in hlo for op in
+               ("all-reduce", "all-gather", "collective-permute",
+                "reduce-scatter", "all-to-all")), \
+        "no cross-device collectives in the sharded stencil step HLO"
+
+    out = jax.block_until_ready(step(batch))
+    shapes = {s.data.shape for s in out.x.addressable_shards}
+    assert shapes == {(1, n_verts // n_shard, 3)}, shapes
+
+    step1 = make_batched_step(solver, mesh=None, donate=False)
+    out1 = step1(make_scenario_batch(solver, 1))
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(out1.x),
+                               atol=1e-9)
+
+
+def test_shard_wrap_stencil_torus_partitions_and_matches():
+    """The PERIODIC (ring) stencil under a GSPMD shard axis: the torus
+    wrap-extended concat + fold-back addressing (ops/stencil.py wrap=True)
+    and the circular mod-N bands have their own sharding interaction, not
+    covered by the plain lattice. n_ring=8, n_sec=12: 14.8% padding
+    (debloat-retained), 1352 verts % 8 == 0."""
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.geometry.factory import make_tet_torus
+    from admm_elastic_tpu.parallel.batch import (
+        _debloat_for_throughput, make_batched_step, make_scenario_batch)
+
+    mesh_geo = make_tet_torus(n_ring=8, n_sec=12)
+    mesh_geo.flags = binding.NOSELFCOLLISION | binding.NEOHOOKEAN
+    solver = Solver()
+    binding.add_tetmesh(solver, mesh_geo, Lame.soft_rubber(), verbose=False)
+    solver.set_pins(list(range(13 * 13)))
+    s = Settings(verbose=0, admm_iters=2, linsolver=3,
+                 pcg_max_iters=15, pcg_tol=1e-6)
+    assert solver.initialize(s)
+    n_verts = solver._n_verts
+    assert n_verts == 1352
+    meta = solver.system.tets[0].stencil
+    assert meta is not None and meta[-1] is True, "expected a wrap stencil"
+    assert _debloat_for_throughput(solver, solver.system) is solver.system
+
+    n_shard = 8
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(1, n_shard),
+                axis_names=("scene", "shard"))
+    batch = make_scenario_batch(solver, 1)
+    step = make_batched_step(solver, mesh=mesh, donate=False)
+
+    hlo = step.lower(batch).compile().as_text()
+    assert any(op in hlo for op in
+               ("all-reduce", "all-gather", "collective-permute",
+                "reduce-scatter", "all-to-all")), \
+        "no cross-device collectives in the sharded wrap-stencil HLO"
+
+    out = jax.block_until_ready(step(batch))
+    shapes = {sh.data.shape for sh in out.x.addressable_shards}
+    assert shapes == {(1, n_verts // n_shard, 3)}, shapes
+
+    step1 = make_batched_step(solver, mesh=None, donate=False)
+    out1 = step1(make_scenario_batch(solver, 1))
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(out1.x),
+                               atol=1e-9)
+
+
 def test_shard_fallback_warns_on_indivisible(recwarn):
     """N % n_shard != 0 falls back to scene-only sharding — loudly
     (VERDICT r1 item 9: the silent fallback)."""
