@@ -103,8 +103,9 @@ def _debloat_for_throughput(solver, system):
     The flat stencil pads dead lanes (ops/stencil.py) — irrelevant for a
     single latency-bound scene, but in the BATCHED regime the prox is
     throughput-bound across every scene and pays the padding directly
-    (measured: the 1024-scene sweep on 16x4x4 beams dropped 38k -> 21k
-    total ADMM iters/s from ~36% dead lanes). Above 15% padding the
+    (measured on the benchmarks/scaling.py sweep — 40x5x5 beams, 30.6%
+    dead lanes: rebuilding to the gather path lifted large-S total ADMM
+    iters/s by roughly the padding fraction). Above 15% padding the
     gather path wins back the waste: small meshes' gathers are cheap.
     """
     import dataclasses as dc

@@ -119,6 +119,40 @@ def _cloth_solver(nx, ny, limits=None, wind=None, gravity=-9.8):
     return solver
 
 
+def _meshobs_solver(nx, ny, nz, narrow, linsolver=4,
+                    pcg=("jacobi", 80, 1e-4)):
+    """ref_driver model 5 at scale: a soft body (make_tet_blocks scaled to
+    unit x-extent, dropped from y=0.4) onto the tet-meshed 6x2x6 slab
+    (top face y=-0.1), resolved through PassiveMesh on the reference side
+    and the chosen TPU narrow phase here (VERDICT r3 weak #4: obstacles
+    were the last contact path without a matrix row)."""
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.collision.passive import (PassiveMeshExact,
+                                                    PassiveMeshSDF)
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks, make_xform
+
+    body = make_tet_blocks(nx, ny, nz, cell=1.0 / nx)
+    body.flags = binding.NOSELFCOLLISION | binding.LINEAR
+    body.apply_xform(make_xform(trans=(0.0, 0.4, 0.0)))
+    solver = Solver()
+    binding.add_tetmesh(solver, body, Lame.soft_rubber(), verbose=False)
+
+    slab = make_tet_blocks(6, 2, 6, cell=0.25)
+    slab.apply_xform(make_xform(trans=(-0.25, -0.6, -0.25)))
+    if narrow == "exact":
+        solver.add_obstacle(PassiveMeshExact.from_tet_mesh(
+            slab.vertices, slab.tets, cells=32))
+    else:
+        solver.add_obstacle(PassiveMeshSDF.from_tet_mesh(
+            slab.vertices, slab.tets, resolution=48))
+    precond, iters, tol = pcg
+    st = Settings(verbose=0, admm_iters=ADMM_ITERS, linsolver=linsolver,
+                  dtype=np.float32, pcg_precond=precond, pcg_max_iters=iters,
+                  pcg_tol=tol)
+    assert solver.initialize(st)
+    return solver
+
+
 def _boxes_solver(n, linsolver):
     import jax.numpy as jnp
 
@@ -221,6 +255,13 @@ SCENES = {
     "boxes-gs-n3": lambda: _boxes_solver(3, 1),
     "boxes-gs-n6": lambda: _boxes_solver(6, 1),
     "boxes-alpcg-n6": lambda: _boxes_solver(6, 4),
+    # Mesh-obstacle contact at scale (ref_driver model 5 geometry): the
+    # packed [G,4] SDF (one 8-row gather/query) and the exact grid narrow
+    # phase, both through AL-PCG. 20k and the 160k north-star tier.
+    "meshobs-sdf-20k": lambda: _meshobs_solver(40, 10, 10, "sdf"),
+    "meshobs-exact-20k": lambda: _meshobs_solver(40, 10, 10, "exact"),
+    "meshobs-sdf-160k": lambda: _meshobs_solver(80, 20, 20, "sdf"),
+    "meshobs-exact-160k": lambda: _meshobs_solver(80, 20, 20, "exact"),
 }
 
 # Ours-label -> reference-label (modes the reference lacks reuse the
@@ -231,6 +272,10 @@ REF_LABEL = {
     "beam-floor-alpcg-160k": "beam-floor-uzawa-160k",
     "beam-floor-alpcg-500k": "beam-floor-uzawa-500k",
     "boxes-alpcg-n6": "boxes-gs-n6",
+    "meshobs-sdf-20k": "mesh-obstacle-20k",
+    "meshobs-exact-20k": "mesh-obstacle-20k",
+    "meshobs-sdf-160k": "mesh-obstacle-160k",
+    "meshobs-exact-160k": "mesh-obstacle-160k",
 }
 
 
@@ -273,7 +318,15 @@ def main():
         solver = build()
         steps = (3 if any(s in label for s in ("160k", "67k", "500k", "160"))
                  else 10)
-        dt = _time(solver, steps=steps)
+        time_kw = {}
+        if label.startswith("meshobs"):
+            # Non-GS contact is frictionless (reference semantics): a
+            # resting body slowly slides off the finite slab, so cap the
+            # rollout to keep every timed step an in-contact step
+            # (CLAUDE.md measurement caveat; same policy as obstacle_lab).
+            solver.run(10)
+            time_kw = dict(target_s=0.4, max_steps=60)
+        dt = _time(solver, steps=steps, **time_kw)
         ours = ADMM_ITERS / dt
         rl = REF_LABEL.get(label, label)
         ref_iters = ref.get(rl, {}).get("admm_iters_per_s")

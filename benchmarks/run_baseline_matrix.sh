@@ -44,6 +44,15 @@ run boxes-gs-n6 6 0 0 10 25 4 "" 1 -0.5
 run torus-nh-20k  64 8 0 10 8 6
 run torus-nh-160k 128 16 0 10 3 6
 
+# Mesh obstacle at scale (model 5: soft body dropped onto the tet-meshed
+# 6x2x6 slab through the reference's exact PassiveMesh narrow phase,
+# Uzawa contact). Caveat like the boxes rows: the real mclscene BVH
+# submodule is absent upstream, so the shim's exact brute-force scan
+# stands in — at this slab size (~360 tets / ~200 surface tris) a BVH
+# would gain at most ~10x on the narrow phase.
+run mesh-obstacle-20k  40 10 10 10 8 5 "" 2 9999
+run mesh-obstacle-160k 80 20 20 10 2 5 "" 2 9999
+
 # North-star sizes (BASELINE.json configs 2/4: ~500k-tet solid, ~50k-tri
 # cloth). Heavy: the 512k-tet LDLT factor alone runs many minutes on this
 # box, so these only run with BIG=1 in the environment.

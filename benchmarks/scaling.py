@@ -49,20 +49,31 @@ def _build_solver(np, dtype):
 
 
 def _time_batch(jax, step, batch, reps=3):
-    out = step(batch)
-    jax.block_until_ready(out.x)
-    batch = out
+    """s/step for the whole batch; `batch` may be a ScenarioBatch or a
+    list of them (chunked dispatch — each chunk steps through the same
+    compiled executable, dispatches pipeline)."""
+    def once(b):
+        if isinstance(b, list):
+            return [step(c) for c in b]
+        return step(b)
+
+    def block(b):
+        for c in (b if isinstance(b, list) else [b]):
+            jax.block_until_ready(c.x)
+
+    batch = once(batch)
+    block(batch)
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(STEPS):
-            batch = step(batch)
-        jax.block_until_ready(batch.x)
+            batch = once(batch)
+        block(batch)
         best = min(best, time.perf_counter() - t0)
-    return best / STEPS  # s/step for the whole batch
+    return best / STEPS
 
 
-def run_throughput(max_scenes: int):
+def run_throughput(max_scenes: int, chunk: int = 0):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -74,17 +85,37 @@ def run_throughput(max_scenes: int):
 
     solver = _build_solver(np, np.float32)
     results = []
+    step_c = None
     s = 1
     while s <= max_scenes:
         # Uniform stiffness isolates the batching amplification (a vmapped
         # PCG while_loop runs to the slowest scene's iteration count, so a
         # stiffness sweep would conflate physics with utilization).
-        bt = pb.make_scenario_batch(solver, s, stiffness_scale=np.ones(s), jitter=0.01)
-        step = pb.make_batched_step(solver, mesh=None)
+        if chunk and s > chunk:
+            # Chunked dispatch (r4, benchmarks/batch_lab.py): S scenes as
+            # S/chunk independent chunk-sized programs. Decouples the
+            # vmapped while-loop's max-iteration coupling across chunks,
+            # keeps the per-dispatch working set flat, and reuses ONE
+            # compiled executable across every S.
+            assert s % chunk == 0
+            bt = [pb.make_scenario_batch(solver, chunk,
+                                         stiffness_scale=np.ones(chunk),
+                                         jitter=0.01, seed=i)
+                  for i in range(s // chunk)]
+            if step_c is None:
+                step_c = pb.make_batched_step(solver, mesh=None)
+            step = step_c
+        else:
+            bt = pb.make_scenario_batch(solver, s, stiffness_scale=np.ones(s),
+                                        jitter=0.01)
+            step = pb.make_batched_step(solver, mesh=None)
         dt = _time_batch(jax, step, bt)
         iters = s * ADMM_ITERS / dt
-        results.append({"scenes": s, "ms_per_step": round(dt * 1e3, 3),
-                        "total_admm_iters_per_s": round(iters, 1)})
+        rec = {"scenes": s, "ms_per_step": round(dt * 1e3, 3),
+               "total_admm_iters_per_s": round(iters, 1)}
+        if chunk and s > chunk:
+            rec["chunk"] = chunk
+        results.append(rec)
         print(json.dumps(results[-1]))
         s *= 2
     base = results[0]["total_admm_iters_per_s"]
@@ -230,6 +261,9 @@ def main():
     ap.add_argument("--bigmesh", action="store_true")
     ap.add_argument("--bigcontact", action="store_true")
     ap.add_argument("--max-scenes", type=int, default=64)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="dispatch batches larger than this as independent "
+                         "chunk-sized programs (0 = single dispatch)")
     ap.add_argument("--scenes-per-device", type=int, default=2)
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
@@ -252,7 +286,7 @@ def main():
     elif args.bigcontact:
         res = {"bigcontact": run_bigcontact()}
     else:
-        res = {"throughput": run_throughput(args.max_scenes)}
+        res = {"throughput": run_throughput(args.max_scenes, chunk=args.chunk)}
     if args.out:
         with open(args.out, "w") as f:
             json.dump(res, f, indent=1)
