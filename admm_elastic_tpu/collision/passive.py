@@ -210,14 +210,14 @@ class PassiveMeshExact:
     ~K_f+K_t gathered candidate rows per query).
     """
 
-    tri_a: jax.Array  # [F, 3]
-    tri_b: jax.Array  # [F, 3]
-    tri_c: jax.Array  # [F, 3]
-    n_face: jax.Array  # [F, 3] unit outward
-    n_vert: jax.Array  # [F, 3, 3] pseudonormals at corners a, b, c
-    n_edge: jax.Array  # [F, 3, 3] pseudonormals at edges ab, bc, ca
-    tet_base: jax.Array  # [T, 3]
-    tet_einv: jax.Array  # [T, 3, 3]
+    # Packed per-triangle rows (r4): XLA:TPU gathers run ~3 GB/s at any
+    # locality, so the candidate loop gathers ONE [F,3,3] row per
+    # candidate (corners a,b,c) instead of three [F,3] tables, and ONE
+    # [F,7,3] row per *selected* face for the pseudonormals
+    # (face, vert a/b/c, edge ab/bc/ca) instead of three.
+    tri_abc: jax.Array  # [F, 3, 3] corners a, b, c
+    nrm: jax.Array  # [F, 7, 3] pseudonormals: nf, nv(a,b,c), ne(ab,bc,ca)
+    tet_pack: jax.Array  # [T, 4, 3] rows: base vertex, then E^-1 rows
     face_table: jax.Array  # [C, Kf] int32
     face_count: jax.Array  # [C] int32
     tet_table: jax.Array  # [C, Kt] int32
@@ -235,9 +235,8 @@ class PassiveMeshExact:
         """
         dtype = p.dtype
         big = jnp.asarray(1e30, dtype)
-        a = self.tri_a[fids].astype(dtype)  # [V, K, 3]
-        b = self.tri_b[fids].astype(dtype)
-        c = self.tri_c[fids].astype(dtype)
+        abc = self.tri_abc[fids].astype(dtype)  # [V, K, 3, 3] — one gather
+        a, b, c = abc[..., 0, :], abc[..., 1, :], abc[..., 2, :]
         closest, v, w = _pt_tri_closest(p[:, None, :], a, b, c)
         d2 = jnp.sum((p[:, None, :] - closest) ** 2, axis=-1)
         d2 = jnp.where(fmask, d2, big)
@@ -250,9 +249,10 @@ class PassiveMeshExact:
 
         # Outward normal: angle-weighted pseudonormal of the closest feature.
         fid_s = take1(fids)
-        nf = self.n_face[fid_s].astype(dtype)  # [V, 3]
-        nv = self.n_vert[fid_s].astype(dtype)  # [V, 3, 3]
-        ne = self.n_edge[fid_s].astype(dtype)  # [V, 3, 3]
+        nrm = self.nrm[fid_s].astype(dtype)  # [V, 7, 3] — one gather
+        nf = nrm[:, 0]  # [V, 3]
+        nv = nrm[:, 1:4]  # [V, 3, 3]
+        ne = nrm[:, 4:7]  # [V, 3, 3]
         eps = jnp.asarray(1e-5, dtype)
         u_s = 1.0 - v_s - w_s
         n = nf
@@ -290,8 +290,9 @@ class PassiveMeshExact:
         tids = self.tet_table[cid]  # [V, Kt]
         tmask = (jnp.arange(kt, dtype=jnp.int32)[None, :] < self.tet_count[cid][:, None])
         tmask = tmask & in_grid[:, None]
-        base = self.tet_base[tids].astype(dtype)  # [V, Kt, 3]
-        einv = self.tet_einv[tids].astype(dtype)  # [V, Kt, 3, 3]
+        trows = self.tet_pack[tids].astype(dtype)  # [V, Kt, 4, 3] — 1 gather
+        base = trows[..., 0, :]  # [V, Kt, 3]
+        einv = trows[..., 1:4, :]  # [V, Kt, 3, 3]
         bco = jnp.einsum(
             "vkij,vkj->vki", einv, p[:, None, :] - base,
             precision=jax.lax.Precision.HIGHEST,
@@ -308,7 +309,7 @@ class PassiveMeshExact:
         # steady shallow contact never pays the O(K*F) brute force.
         need_fb = inside & ~any_face
         k_fb = min(int(self.fallback_lanes), p.shape[0])
-        n_tris = self.tri_a.shape[0]
+        n_tris = self.tri_abc.shape[0]
         if k_fb > 0 and n_tris > 0:
             def _deep_project(args):
                 dist_, cl_, n_, any_ = args
@@ -425,9 +426,10 @@ class PassiveMeshExact:
 
         jarr = lambda arr: jnp.asarray(np.asarray(arr, dtype=np.float64))
         return PassiveMeshExact(
-            tri_a=jarr(a), tri_b=jarr(b), tri_c=jarr(c),
-            n_face=jarr(nf), n_vert=jarr(n_vert), n_edge=jarr(n_edge),
-            tet_base=jarr(x4[:, 0]), tet_einv=jarr(einv),
+            tri_abc=jarr(np.stack([a, b, c], axis=1)),
+            nrm=jarr(np.concatenate(
+                [nf[:, None, :], n_vert, n_edge], axis=1)),
+            tet_pack=jarr(np.concatenate([x4[:, :1], einv], axis=1)),
             face_table=jnp.asarray(face_table), face_count=jnp.asarray(face_count),
             tet_table=jnp.asarray(tet_table), tet_count=jnp.asarray(tet_count),
             origin=jarr(lo), h=jnp.asarray(float(h)), dims=dims,
@@ -438,8 +440,8 @@ class PassiveMeshExact:
 jax.tree_util.register_dataclass(
     PassiveMeshExact,
     data_fields=(
-        "tri_a", "tri_b", "tri_c", "n_face", "n_vert", "n_edge",
-        "tet_base", "tet_einv", "face_table", "face_count",
+        "tri_abc", "nrm",
+        "tet_pack", "face_table", "face_count",
         "tet_table", "tet_count", "origin", "h",
     ),
     meta_fields=("dims", "fallback_lanes"),

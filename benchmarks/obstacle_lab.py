@@ -21,7 +21,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from matrix import _time, ADMM_ITERS  # noqa: E402
+from matrix import ADMM_ITERS  # noqa: E402
 
 
 def build(kind, nx):
@@ -72,9 +72,32 @@ def main():
             # Contact here is frictionless (reference Uzawa/penalty
             # semantics; only NCMCGS's tangent projection is sticky), so
             # the body slowly slides and eventually falls off the finite
-            # slab (~step 350 measured on CPU). Cap the calibrated
-            # rollout so every timed step is an in-contact step.
-            dt = _time(solver, steps=10, target_s=0.3, max_steps=40)
+            # slab. r3 capped the rollout at 40 steps; post-r4 the packed
+            # SDF is ~7x faster, the calibrated rollout got ~7x longer in
+            # steps, and the body DID slide off mid-timing — so every
+            # timed rollout now restarts from the settled snapshot and
+            # each measurement stays within one in-contact window.
+            import time as _t
+
+            snap = solver.state
+            steps = 10
+            best = 1e9
+            for rep in range(6):
+                solver.state = snap
+                t0 = _t.perf_counter()
+                solver.run(steps)
+                jax.block_until_ready(solver.state.x)
+                dt_roll = _t.perf_counter() - t0
+                if rep == 0 and dt_roll < 0.3:
+                    steps = min(40, max(steps + 1,
+                                        int(steps * 0.3 / max(dt_roll, 1e-3))))
+                    solver.state = snap
+                    t0 = _t.perf_counter()
+                    solver.run(steps)
+                    jax.block_until_ready(solver.state.x)
+                    dt_roll = _t.perf_counter() - t0
+                best = min(best, dt_roll)
+            dt = best / steps
             ms = dt * 1e3
             x = np.asarray(solver.state.x)
             rec = {
