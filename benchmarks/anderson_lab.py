@@ -37,11 +37,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from matrix import _time  # noqa: E402
 
 
-def build(admm_iters, aa_window, np):
+def build(admm_iters, aa_window, np, dims=(16, 4, 4)):
     from admm_elastic_tpu import Lame, Settings, Solver, binding
     from admm_elastic_tpu.geometry.factory import make_tet_blocks
 
-    mesh = make_tet_blocks(16, 4, 4)
+    mesh = make_tet_blocks(*dims)
     mesh.flags = binding.NOSELFCOLLISION | binding.NEOHOOKEAN
     solver = Solver()
     lame = Lame.from_youngs_poisson(1e7, 0.45)  # the stiff r3 study row
@@ -55,8 +55,8 @@ def build(admm_iters, aa_window, np):
     return solver
 
 
-def one_step_x(admm_iters, aa_window, np, jax):
-    s = build(admm_iters, aa_window, np)
+def one_step_x(admm_iters, aa_window, np, jax, dims=(16, 4, 4)):
+    s = build(admm_iters, aa_window, np, dims)
     s.step()
     jax.block_until_ready(s.state.x)
     return np.asarray(s.x, np.float64)
@@ -65,6 +65,7 @@ def one_step_x(admm_iters, aa_window, np, jax):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--dims", type=int, nargs=3, default=[16, 4, 4])
     args = ap.parse_args()
 
     import numpy as np
@@ -74,11 +75,12 @@ def main():
     jnp.asarray([1.0]).block_until_ready()
     print(f"handshake ok: {jax.devices()}", file=sys.stderr, flush=True)
 
-    x_ref = one_step_x(2000, 0, np, jax)
+    dims = tuple(args.dims)
+    x_ref = one_step_x(2000, 0, np, jax, dims)
 
     # Cost: calibrated rollouts at admm_iters=30.
-    ms_plain = _time(build(30, 0, np), steps=10, target_s=0.5) * 1e3
-    ms_aa = _time(build(30, 4, np), steps=10, target_s=0.5) * 1e3
+    ms_plain = _time(build(30, 0, np, dims), steps=10, target_s=0.5) * 1e3
+    ms_aa = _time(build(30, 4, np, dims), steps=10, target_s=0.5) * 1e3
     r = ms_aa / ms_plain
     print(json.dumps({"ms_per_step_30it_plain": round(ms_plain, 3),
                       "ms_per_step_30it_aa4": round(ms_aa, 3),
@@ -88,10 +90,10 @@ def main():
     budgets = sorted({10, 30, math.ceil(10 * r), math.ceil(30 * r)})
     for it in budgets:
         errs[("plain", it)] = float(
-            np.abs(one_step_x(it, 0, np, jax) - x_ref).max())
+            np.abs(one_step_x(it, 0, np, jax, dims) - x_ref).max())
     for it in (10, 30):
         errs[("aa4", it)] = float(
-            np.abs(one_step_x(it, 4, np, jax) - x_ref).max())
+            np.abs(one_step_x(it, 4, np, jax, dims) - x_ref).max())
     rows = [{"cfg": k[0], "admm_iters": k[1], "err_vs_converged": f"{v:.3e}"}
             for k, v in sorted(errs.items())]
     for row in rows:
