@@ -226,6 +226,26 @@ class PassiveMeshExact:
     h: jax.Array  # scalar cell size
     dims: tuple  # (Gx, Gy, Gz) static
     fallback_lanes: int = 128  # deep-penetration fallback capacity (static)
+    # Near-lane compaction capacity (static; 0 = dense). The narrow phase
+    # gathers ~Kf*36 B of candidate-triangle rows per query lane and
+    # XLA:TPU gathers run ~3 GB/s regardless of locality (DESIGN.md), so
+    # at scale its cost is pure gathered bytes. Most query lanes are
+    # nowhere near the obstacle: with near_lanes=K, a cheap tier-1 pass
+    # (ONE int gather/lane: the cell's tet-candidate count) masks the
+    # lanes that could possibly be penetrating — a point inside a tet
+    # always lies in a cell that tet's AABB overlaps, so tet_count == 0
+    # proves dx > 0 — compacts up to K of them with top_k, and only those
+    # pay the candidate gathers. Every PENETRATING query stays exact
+    # (same dx/point/normal as dense, any depth incl. the fallback);
+    # non-penetrating queries report no-hit instead of their positive
+    # distance, which contact consumers never read (hit = dx < 0, and
+    # payload-min across obstacles only ever selects negative dx). If
+    # more than K lanes are simultaneously near, the extras report no-hit
+    # for that iteration and the overflow is surfaced through
+    # detect_passive -> RuntimeData.collision_overflow (same policy as
+    # the dynamic-hit caps: never a wrong projection, never a silent
+    # drop).
+    near_lanes: int = 0
 
     def _closest_feature(self, p, fids, fmask):
         """Exact closest point + pseudonormal over candidate triangles.
@@ -266,6 +286,14 @@ class PassiveMeshExact:
         return dist, cl, n, any_face
 
     def signed_distance(self, x):
+        dx, point, normal, _ = self.signed_distance_with_overflow(x)
+        return dx, point, normal
+
+    def signed_distance_with_overflow(self, x):
+        """signed_distance plus a bool overflow scalar (True iff the
+        near-lane compaction dropped lanes this call; always False in the
+        dense near_lanes=0 mode). detect_passive picks this method up and
+        routes the flag into RuntimeData.collision_overflow."""
         dtype = x.dtype
         lead = x.shape[:-1]
         p = x.reshape(-1, 3)
@@ -278,6 +306,41 @@ class PassiveMeshExact:
         cic = jnp.clip(ci, 0, dims - 1)
         cid = (cic[:, 0] * dims[1] + cic[:, 1]) * dims[2] + cic[:, 2]
 
+        k_near = int(self.near_lanes)
+        if 0 < k_near < p.shape[0]:
+            # Tier 1: ONE int gather/lane. A penetrating point lies inside
+            # some tet, and a point inside a tet always sits in a cell that
+            # tet's AABB overlaps — so tet_count == 0 proves dx > 0 and the
+            # lane can never contribute a contact (Collider only consumes
+            # dx < 0 hits; payload-min across obstacles also only ever
+            # selects negative dx). Lanes in the positive-distance capture
+            # shell are therefore skipped too: compacted mode reports
+            # no-hit (dx = big) for every non-penetrating query instead of
+            # its positive distance. All penetrating queries stay exact.
+            near = in_grid & (self.tet_count[cid] > 0)
+            _, sel = jax.lax.top_k(near.astype(jnp.int32), k_near)
+            sel_mask = near[sel]
+            dx_k, cl_k, n_k = self._narrow(
+                p[sel], cid[sel], sel_mask, dtype, big)
+            dx = jnp.full((p.shape[0],), big, dtype)
+            dx = dx.at[sel].set(jnp.where(sel_mask, dx_k, big))
+            cl = jnp.zeros_like(p).at[sel].set(
+                jnp.where(sel_mask[:, None], cl_k, 0.0))
+            n = jnp.zeros_like(p).at[sel].set(
+                jnp.where(sel_mask[:, None], n_k, 0.0))
+            overflow = jnp.sum(near.astype(jnp.int32)) > k_near
+        else:
+            dx, cl, n = self._narrow(p, cid, in_grid, dtype, big)
+            overflow = jnp.asarray(False)
+        return (dx.reshape(lead), cl.reshape(lead + (3,)),
+                n.reshape(lead + (3,)), overflow)
+
+    def _narrow(self, p, cid, valid, dtype, big):
+        """Exact narrow phase over [V] query lanes (dx, closest, normal).
+
+        ``valid`` masks lanes allowed to report candidates (in-grid and,
+        under compaction, actually selected)."""
+        in_grid = valid
         # Narrow phase: exact closest point over the cell's candidate tris.
         kf = self.face_table.shape[1]
         fids = self.face_table[cid]  # [V, Kf]
@@ -334,11 +397,12 @@ class PassiveMeshExact:
 
         sgn = jnp.where(inside, -1.0, 1.0).astype(dtype)
         dx = jnp.where(any_face, sgn * dist, big)
-        return dx.reshape(lead), cl.reshape(lead + (3,)), n.reshape(lead + (3,))
+        return dx, cl, n
 
     @staticmethod
     def from_tet_mesh(verts: np.ndarray, tets: np.ndarray, cells: int = 32,
-                      capture_cells: float = 2.0, fallback_lanes: int = 128):
+                      capture_cells: float = 2.0, fallback_lanes: int = 128,
+                      near_lanes: int = 0):
         """Bake the candidate grid from a closed tet mesh (host, numpy).
 
         ``cells`` grid cells along the longest AABB axis; every cell lists
@@ -433,7 +497,7 @@ class PassiveMeshExact:
             face_table=jnp.asarray(face_table), face_count=jnp.asarray(face_count),
             tet_table=jnp.asarray(tet_table), tet_count=jnp.asarray(tet_count),
             origin=jarr(lo), h=jnp.asarray(float(h)), dims=dims,
-            fallback_lanes=int(fallback_lanes),
+            fallback_lanes=int(fallback_lanes), near_lanes=int(near_lanes),
         )
 
 
@@ -444,7 +508,7 @@ jax.tree_util.register_dataclass(
         "tet_pack", "face_table", "face_count",
         "tet_table", "tet_count", "origin", "h",
     ),
-    meta_fields=("dims", "fallback_lanes"),
+    meta_fields=("dims", "fallback_lanes", "near_lanes"),
 )
 
 
@@ -502,15 +566,22 @@ def detect_passive(obstacles, xs):
 
     Mirrors Collider::detect's payload-min semantics
     (src/Collider.hpp:178-189): each obstacle only overwrites the payload
-    if its dx is smaller. Returns (dx, point, normal, hit_mask).
+    if its dx is smaller. Returns (dx, point, normal, hit_mask, overflow);
+    overflow is the OR over obstacles whose fixed-capacity machinery
+    (near-lane compaction) dropped lanes this call.
     """
+    ovf = jnp.asarray(False)
     if not obstacles:
         z3 = jnp.zeros(xs.shape, xs.dtype)
         big = jnp.full(xs.shape[:-1], jnp.finfo(xs.dtype).max, xs.dtype)
-        return big, z3, z3, jnp.zeros(xs.shape[:-1], dtype=bool)
+        return big, z3, z3, jnp.zeros(xs.shape[:-1], dtype=bool), ovf
     dxs, points, normals = [], [], []
     for obs in obstacles:
-        d, p, n = obs.signed_distance(xs)
+        if hasattr(obs, "signed_distance_with_overflow"):
+            d, p, n, o = obs.signed_distance_with_overflow(xs)
+            ovf = ovf | o
+        else:
+            d, p, n = obs.signed_distance(xs)
         dxs.append(d)
         points.append(p)
         normals.append(n)
@@ -520,7 +591,7 @@ def detect_passive(obstacles, xs):
         jnp.stack(arr, axis=0), best[None, ..., None], axis=0
     )[0]
     d_best = jnp.take_along_axis(dx, best[None, ...], axis=0)[0]
-    return d_best, pick(points), pick(normals), d_best < 0.0
+    return d_best, pick(points), pick(normals), d_best < 0.0, ovf
 
 
 # numpy helpers for SDF baking -------------------------------------------------

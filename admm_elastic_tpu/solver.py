@@ -105,8 +105,10 @@ def _detect(obstacles, colliders, x, surf_inds, with_passive: bool, dtype,
         return hits
     xs = x if dense_surf else x[surf_inds]
     if obstacles and with_passive:
-        dx, point, normal, mask = detect_passive(obstacles, xs)
-        hits = dataclasses.replace(hits, p_mask=mask, p_normal=normal, p_point=point)
+        dx, point, normal, mask, p_ovf = detect_passive(obstacles, xs)
+        hits = dataclasses.replace(hits, p_mask=mask, p_normal=normal,
+                                   p_point=point,
+                                   overflow=hits.overflow | p_ovf)
     if colliders:
         d_mask = jnp.zeros((surf_inds.shape[0],), dtype=bool)
         d_face = jnp.zeros((surf_inds.shape[0], 3), dtype=jnp.int32)

@@ -117,7 +117,7 @@ def _sweep_setup(
             # (src/NodalMultiColorGS.hpp:121-126), then the constrained
             # tangent-plane update (no over-relaxation,
             # src/NodalMultiColorGS.hpp:218-262).
-            dx, p, nrm, hit = detect_passive(obstacles, x_new)
+            dx, p, nrm, hit, _ = detect_passive(obstacles, x_new)
             delta = x_gs - p
             u, v = _ortho_tangent(nrm)
             x_con = (

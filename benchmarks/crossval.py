@@ -214,6 +214,15 @@ def main():
         # for Lyapunov growth (measured ~7e-6), bound 1e-4.
         if name in ("beam_nh_pcg", "torus_nh_pcg"):
             bound = 1e-2
+        elif name == "torus_nh_pcg_1step":
+            # The torus's 1-step reassociation floor is higher than the
+            # beam's: torus_bisect2 (r3) measured 1.6e-4 after ONE step
+            # from a benign same-backend op reordering, and the first
+            # r4 on-chip run landed at 1.56e-4 — right on that floor.
+            # 1e-3 is ~6x the floor and 10x tighter than the 8-step
+            # bound; the miscompile class this harness catches (fusion
+            # bugs -> O(1) divergence or NaNs) clears it by >3 orders.
+            bound = 1e-3
         elif name.endswith("_1step"):
             bound = 1e-4
         else:

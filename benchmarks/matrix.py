@@ -140,8 +140,13 @@ def _meshobs_solver(nx, ny, nz, narrow, linsolver=4,
     slab = make_tet_blocks(6, 2, 6, cell=0.25)
     slab.apply_xform(make_xform(trans=(-0.25, -0.6, -0.25)))
     if narrow == "exact":
+        # near_lanes (r4): tier-1 tet-count compaction — only lanes whose
+        # cell can contain a penetrating point pay the Kf-wide candidate
+        # gathers. 8192 is ~5x the body's bottom contact layer at 160k
+        # (81x21 = 1701 verts); overflow would surface via
+        # RuntimeData.collision_overflow.
         solver.add_obstacle(PassiveMeshExact.from_tet_mesh(
-            slab.vertices, slab.tets, cells=32))
+            slab.vertices, slab.tets, cells=32, near_lanes=8192))
     else:
         solver.add_obstacle(PassiveMeshSDF.from_tet_mesh(
             slab.vertices, slab.tets, resolution=48))

@@ -47,8 +47,13 @@ def build(kind, nx):
             solver.add_obstacle(PassiveMeshSDF.from_tet_mesh(
                 slab.vertices, slab.tets, resolution=48))
         else:
+            # exact-compact: near-lane compaction (r4) — tier-1 count
+            # gathers mask the lanes whose cell has candidates, and only
+            # those pay the Kf-wide candidate gathers. Capacity 4096
+            # comfortably holds the body's bottom vertex layer at nx=32.
+            near = 4096 if kind == "exact-compact" else 0
             solver.add_obstacle(PassiveMeshExact.from_tet_mesh(
-                slab.vertices, slab.tets, cells=32))
+                slab.vertices, slab.tets, cells=32, near_lanes=near))
     st = Settings(verbose=0, admm_iters=ADMM_ITERS, linsolver=4,
                   gravity=-9.8, dtype=np.float32)
     assert solver.initialize(st)
@@ -64,7 +69,7 @@ def main():
 
     for nx in (16, 32):
         base_ms = None
-        for kind in ("floor", "sdf", "exact"):
+        for kind in ("floor", "sdf", "exact", "exact-compact"):
             solver = build(kind, nx)
             n_verts = int(np.asarray(solver.x).shape[0])
             solver.run(10)  # settle into contact
@@ -106,6 +111,9 @@ def main():
                 "min_y": round(float(x[:, 1].min()), 4),
             }
             assert x[:, 1].min() > -0.5, "left contact during timing"
+            if kind == "exact-compact":
+                assert not solver.runtime_data().collision_overflow, \
+                    "near-lane capacity overflowed during timing"
             if kind == "floor":
                 base_ms = ms
             else:

@@ -608,3 +608,123 @@ def test_mesh_exact_deep_impact_restores():
     assert np.isfinite(x).all()
     assert x[:, 1].min() > -0.05, f"sank through the slab: {x[:, 1].min()}"
     assert x[:, 1].min() < 0.1, "hovering above the slab"
+
+
+def test_mesh_exact_near_lane_compaction_matches_dense():
+    """near_lanes compaction is contact-exact vs the dense narrow phase.
+
+    Tier 1 only skips lanes whose grid cell holds NO candidate tet — a
+    penetrating point is inside a tet and a point inside a tet always
+    lies in a cell that tet's AABB overlaps, so those lanes provably
+    have dx > 0. With enough capacity: every dense HIT (dx < 0) must be
+    reproduced bit-for-bit (dx, point, normal), every reported lane must
+    equal the dense answer, skipped lanes are exactly the provably
+    non-penetrating ones, and overflow is False.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu.collision.passive import PassiveMeshExact
+
+    obs = make_tet_blocks(4, 2, 4, cell=0.25)
+    dense = PassiveMeshExact.from_tet_mesh(obs.vertices, obs.tets, cells=16)
+
+    rng = np.random.default_rng(3)
+    lo = obs.vertices.min(0)
+    hi = obs.vertices.max(0)
+    # Mix of near (in/around the slab) and far (outside the grid) points.
+    pts = np.concatenate([
+        rng.uniform(lo - 0.05, hi + 0.05, size=(500, 3)),
+        rng.uniform(lo - 4.0, lo - 2.0, size=(500, 3)),
+    ])
+    rng.shuffle(pts)
+    pts = jnp.asarray(pts)
+
+    d0, p0, n0 = dense.signed_distance(pts)
+    comp = dataclasses.replace(dense, near_lanes=600)
+    d1, p1, n1, ovf = comp.signed_distance_with_overflow(pts)
+
+    d0, p0, n0, d1, p1, n1 = map(np.asarray, (d0, p0, n0, d1, p1, n1))
+    assert not bool(ovf)
+    hit = d0 < 0
+    assert hit.sum() > 100
+    assert np.array_equal(d0[hit], d1[hit]), "a penetrating lane changed"
+    assert np.array_equal(p0[hit], p1[hit])
+    assert np.array_equal(n0[hit], n1[hit])
+    reported = d1 < 1e20
+    assert hit[~reported].sum() == 0, "compaction dropped a hit"
+    assert np.array_equal(d0[reported], d1[reported]), \
+        "a reported lane differs from dense"
+
+
+def test_mesh_exact_near_lane_overflow_accounting():
+    """Over-capacity compaction surfaces overflow and NEVER reports a
+    wrong projection: reported lanes equal the dense answer exactly, the
+    dropped lanes report no-hit (dx = big), and the solver path routes
+    the flag into RuntimeData.collision_overflow."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu.collision.passive import (PassiveMeshExact,
+                                                    detect_passive)
+
+    obs = make_tet_blocks(4, 2, 4, cell=0.25)
+    dense = PassiveMeshExact.from_tet_mesh(obs.vertices, obs.tets, cells=16)
+
+    rng = np.random.default_rng(4)
+    lo = obs.vertices.min(0)
+    hi = obs.vertices.max(0)
+    pts = jnp.asarray(rng.uniform(lo, hi, size=(256, 3)))  # all near
+
+    comp = dataclasses.replace(dense, near_lanes=16)
+    d0 = np.asarray(dense.signed_distance(pts)[0])
+    d1, _, _, ovf = comp.signed_distance_with_overflow(pts)
+    d1 = np.asarray(d1)
+    assert bool(ovf), "dropping near lanes must surface overflow"
+    reported = d1 < 1e20
+    assert 0 < reported.sum() <= 16, "at most the capacity reports"
+    assert np.array_equal(d1[reported], d0[reported]), \
+        "reported lanes must still be exact"
+    assert (d1[~reported] > 1e20).all(), "dropped lanes report no-hit"
+
+    # detect_passive propagates the flag (solver merges it into
+    # RuntimeData.collision_overflow like the dynamic-hit caps).
+    *_, ovf2 = detect_passive([comp], pts)
+    assert bool(ovf2)
+    *_, ovf3 = detect_passive([dense], pts)
+    assert not bool(ovf3)
+
+
+def test_mesh_exact_near_lane_compaction_end_to_end():
+    """The resting-beam scene through a compacted exact obstacle follows
+    the dense-obstacle trajectory bit-for-bit (CPU f64, same program
+    modulo the compaction tier) and raises no overflow."""
+    import dataclasses
+
+    from admm_elastic_tpu.collision.passive import PassiveMeshExact
+
+    obs = make_tet_blocks(4, 2, 4, cell=0.5)
+    obs.apply_xform(make_xform(trans=(0.0, -1.0, 0.0)))
+    dense = PassiveMeshExact.from_tet_mesh(obs.vertices, obs.tets, cells=24)
+
+    def run(exact):
+        mesh = make_tet_blocks(3, 2, 2, cell=0.4)
+        mesh.flags = binding.NOSELFCOLLISION | binding.LINEAR
+        mesh.apply_xform(make_xform(trans=(0.4, 1.0, 0.4)))
+        s = Solver()
+        binding.add_tetmesh(s, mesh, Lame.soft_rubber(), verbose=False)
+        s.add_obstacle(exact)
+        st = Settings(verbose=0, admm_iters=10, linsolver=1, gravity=-9.8)
+        assert s.initialize(st)
+        s.run(25)
+        return np.asarray(s.x), s.runtime_data().collision_overflow
+
+    x_dense, _ = run(dense)
+    x_comp, ovf = run(dataclasses.replace(dense, near_lanes=64))
+    assert not ovf
+    assert np.isfinite(x_comp).all()
+    assert np.abs(x_comp - x_dense).max() < 1e-12, \
+        "compacted obstacle changed the trajectory"
+    assert x_comp[:, 1].min() > -0.02
