@@ -94,16 +94,62 @@ class PassiveMeshSDF:
     origin: jax.Array  # [3]
     h: jax.Array  # scalar spacing
     dims: tuple  # (Gx, Gy, Gz) static
+    # Near-lane compaction capacity (static; 0 = dense), mirroring
+    # PassiveMeshExact.near_lanes: the trilinear value at a query is a
+    # convex combination of 8 corner samples of a 1-Lipschitz SDF whose
+    # pairwise distance is <= sqrt(3)h, so corner0 >= sqrt(3)h proves the
+    # interpolated value is positive and the lane can never contribute a
+    # contact. Tier 1 gathers ONE corner row (16 B) instead of 8 (128 B)
+    # and only compacted lanes pay the blend. Penetrating queries stay
+    # bit-exact vs dense; non-penetrating ones report no-hit. Overflow
+    # (more near lanes than capacity) degrades extras to no-hit and
+    # surfaces via detect_passive -> RuntimeData.collision_overflow.
+    near_lanes: int = 0
 
     def signed_distance(self, x):
+        dx, point, normal, _ = self.signed_distance_with_overflow(x)
+        return dx, point, normal
+
+    def signed_distance_with_overflow(self, x):
         dtype = x.dtype
+        lead = x.shape[:-1]
+        p = x.reshape(-1, 3)
         gx, gy, gz = self.dims
         shape = jnp.asarray((gx, gy, gz), dtype=dtype)
-        u = (x - self.origin.astype(dtype)) / self.h.astype(dtype)
+        u = (p - self.origin.astype(dtype)) / self.h.astype(dtype)
         u = jnp.clip(u, 0.0, shape - 1.000001)
         i0 = jnp.floor(u).astype(jnp.int32)
         f = u - i0.astype(dtype)
         base = (i0[..., 0] * gy + i0[..., 1]) * gz + i0[..., 2]
+
+        k_near = int(self.near_lanes)
+        if 0 < k_near < p.shape[0]:
+            v0 = self.vals4[base, 0].astype(dtype)  # [V] — one row/lane
+            near = v0 < jnp.sqrt(jnp.asarray(3.0, dtype)) * self.h.astype(dtype)
+            _, sel = jax.lax.top_k(near.astype(jnp.int32), k_near)
+            sel_mask = near[sel]
+            dx_k, n_k = self._blend(base[sel], f[sel], dtype)
+            big = jnp.asarray(1e30, dtype)
+            dx = jnp.full((p.shape[0],), big, dtype)
+            dx = dx.at[sel].set(jnp.where(sel_mask, dx_k, big))
+            n = jnp.zeros_like(p).at[sel].set(
+                jnp.where(sel_mask[:, None], n_k, 0.0))
+            overflow = jnp.sum(near.astype(jnp.int32)) > k_near
+        else:
+            dx, n = self._blend(base, f, dtype)
+            overflow = jnp.asarray(False)
+        point = p - dx[..., None] * n
+        # Far compacted lanes: dx = 1e30 makes `point` garbage; zero it so
+        # the payload stays finite (it is masked out downstream anyway).
+        point = jnp.where((dx < 1e29)[..., None], point, 0.0)
+        return (dx.reshape(lead), point.reshape(lead + (3,)),
+                n.reshape(lead + (3,)), overflow)
+
+    def _blend(self, base, f, dtype):
+        """Trilinear blend of the packed (value, gradient) rows at the 8
+        cube corners of each lane: base [V] flat node ids, f [V,3]
+        in-cell fractions. Returns (dx [V], unit normal [V,3])."""
+        gx, gy, gz = self.dims
         # Constant corner offsets, dk fastest — order must match `w` below.
         offs = jnp.asarray(
             [(di * gy + dj) * gz + dk
@@ -124,11 +170,10 @@ class PassiveMeshSDF:
         dx = vals[..., 0]
         n = vals[..., 1:]
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
-        point = x - dx[..., None] * n
-        return dx, point, n
+        return dx, n
 
     @staticmethod
-    def from_grid(grid: np.ndarray, origin, h):
+    def from_grid(grid: np.ndarray, origin, h, near_lanes: int = 0):
         """Pack a raw [Gx, Gy, Gz] value grid: bake node gradients by
         central differences (one-sided at the boundary) into vals4."""
         grid = np.asarray(grid, dtype=np.float64)
@@ -139,10 +184,12 @@ class PassiveMeshSDF:
             vals4=jnp.asarray(vals4.reshape(-1, 4)),
             origin=jnp.asarray(np.asarray(origin, dtype=np.float64)),
             h=jnp.asarray(h), dims=tuple(int(d) for d in grid.shape),
+            near_lanes=int(near_lanes),
         )
 
     @staticmethod
-    def from_tet_mesh(verts: np.ndarray, tets: np.ndarray, resolution: int = 48, pad: float = 0.1):
+    def from_tet_mesh(verts: np.ndarray, tets: np.ndarray, resolution: int = 48, pad: float = 0.1,
+                      near_lanes: int = 0):
         """Build a voxel SDF from a closed tet mesh (host-side, numpy).
 
         Inside test = point-in-any-tet; magnitude = distance to the surface
@@ -163,11 +210,12 @@ class PassiveMeshSDF:
         faces = surface_faces_from_tets(tets)
         dist = _point_tri_distance_np(pts, verts, faces)
         sdf = np.where(inside, -dist, dist).reshape(tuple(dims))
-        return PassiveMeshSDF.from_grid(sdf, lo, h)
+        return PassiveMeshSDF.from_grid(sdf, lo, h, near_lanes=near_lanes)
 
 
 jax.tree_util.register_dataclass(
-    PassiveMeshSDF, data_fields=("vals4", "origin", "h"), meta_fields=("dims",)
+    PassiveMeshSDF, data_fields=("vals4", "origin", "h"),
+    meta_fields=("dims", "near_lanes"),
 )
 
 

@@ -139,17 +139,20 @@ def _meshobs_solver(nx, ny, nz, narrow, linsolver=4,
 
     slab = make_tet_blocks(6, 2, 6, cell=0.25)
     slab.apply_xform(make_xform(trans=(-0.25, -0.6, -0.25)))
+    # near_lanes (r4): tier-1 compaction — only lanes that could be
+    # penetrating pay the narrow-phase gathers. Capacity = next pow2 of
+    # 3x the body's bottom vertex layer (only penetrating layers land in
+    # tet-AABB cells / sub-sqrt(3)h corner samples): 1024 at 20k tets,
+    # 8192 at 160k. An overflow would surface via
+    # RuntimeData.collision_overflow, which the runner asserts clean
+    # after timing.
+    near = 1 << int(np.ceil(np.log2(3 * (nx + 1) * (nz + 1))))
     if narrow == "exact":
-        # near_lanes (r4): tier-1 tet-count compaction — only lanes whose
-        # cell can contain a penetrating point pay the Kf-wide candidate
-        # gathers. 8192 is ~5x the body's bottom contact layer at 160k
-        # (81x21 = 1701 verts); overflow would surface via
-        # RuntimeData.collision_overflow.
         solver.add_obstacle(PassiveMeshExact.from_tet_mesh(
-            slab.vertices, slab.tets, cells=32, near_lanes=8192))
+            slab.vertices, slab.tets, cells=32, near_lanes=near))
     else:
         solver.add_obstacle(PassiveMeshSDF.from_tet_mesh(
-            slab.vertices, slab.tets, resolution=48))
+            slab.vertices, slab.tets, resolution=48, near_lanes=near))
     precond, iters, tol = pcg
     st = Settings(verbose=0, admm_iters=ADMM_ITERS, linsolver=linsolver,
                   dtype=np.float32, pcg_precond=precond, pcg_max_iters=iters,
@@ -332,6 +335,9 @@ def main():
             solver.run(10)
             time_kw = dict(target_s=0.4, max_steps=60)
         dt = _time(solver, steps=steps, **time_kw)
+        if label.startswith("meshobs"):
+            assert not solver.runtime_data().collision_overflow, \
+                f"{label}: near-lane capacity overflowed during timing"
         ours = ADMM_ITERS / dt
         rl = REF_LABEL.get(label, label)
         ref_iters = ref.get(rl, {}).get("admm_iters_per_s")

@@ -43,15 +43,21 @@ def build(kind, nx):
     else:
         slab = make_tet_blocks(10, 2, 10, cell=0.5)
         slab.apply_xform(make_xform(trans=(-0.5, -1.0, -0.5)))
-        if kind == "sdf":
+        # -compact kinds: near-lane compaction (r4). Capacity sized ~3x
+        # the body's bottom vertex layer ((nx+1)*(nx/2+1) resting lanes)
+        # — it must stay BELOW n_verts or compaction self-disables
+        # (k_near < n_lanes guard) and silently measures the dense path.
+        near = {16: 512, 32: 2048}[nx] if kind.endswith("-compact") else 0
+        if kind.startswith("sdf"):
+            # sdf-compact: tier-1 corner-sample gate — one 16 B row per
+            # lane decides; only possibly-penetrating lanes pay the
+            # 8-row blend.
             solver.add_obstacle(PassiveMeshSDF.from_tet_mesh(
-                slab.vertices, slab.tets, resolution=48))
+                slab.vertices, slab.tets, resolution=48, near_lanes=near))
         else:
-            # exact-compact: near-lane compaction (r4) — tier-1 count
-            # gathers mask the lanes whose cell has candidates, and only
-            # those pay the Kf-wide candidate gathers. Capacity 4096
-            # comfortably holds the body's bottom vertex layer at nx=32.
-            near = 4096 if kind == "exact-compact" else 0
+            # exact-compact: tier-1 tet-count gate — only lanes whose
+            # cell could contain a penetrating point pay the Kf-wide
+            # candidate gathers.
             solver.add_obstacle(PassiveMeshExact.from_tet_mesh(
                 slab.vertices, slab.tets, cells=32, near_lanes=near))
     st = Settings(verbose=0, admm_iters=ADMM_ITERS, linsolver=4,
@@ -69,7 +75,7 @@ def main():
 
     for nx in (16, 32):
         base_ms = None
-        for kind in ("floor", "sdf", "exact", "exact-compact"):
+        for kind in ("floor", "sdf", "sdf-compact", "exact", "exact-compact"):
             solver = build(kind, nx)
             n_verts = int(np.asarray(solver.x).shape[0])
             solver.run(10)  # settle into contact
@@ -111,7 +117,7 @@ def main():
                 "min_y": round(float(x[:, 1].min()), 4),
             }
             assert x[:, 1].min() > -0.5, "left contact during timing"
-            if kind == "exact-compact":
+            if kind.endswith("-compact"):
                 assert not solver.runtime_data().collision_overflow, \
                     "near-lane capacity overflowed during timing"
             if kind == "floor":

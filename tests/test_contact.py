@@ -728,3 +728,60 @@ def test_mesh_exact_near_lane_compaction_end_to_end():
     assert np.abs(x_comp - x_dense).max() < 1e-12, \
         "compacted obstacle changed the trajectory"
     assert x_comp[:, 1].min() > -0.02
+
+
+def test_mesh_sdf_near_lane_compaction():
+    """PassiveMeshSDF near_lanes compaction: tier 1 skips only lanes whose
+    base corner sample proves the trilinear value positive (convex combo
+    of 8 corners of a 1-Lipschitz SDF, pairwise <= sqrt(3)h apart), so
+    every dense hit is reproduced bit-for-bit; over-capacity surfaces
+    overflow and degrades extras to no-hit, never a wrong projection."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from admm_elastic_tpu.collision.passive import (PassiveMeshSDF,
+                                                    detect_passive)
+
+    obs = make_tet_blocks(4, 2, 4, cell=0.25)
+    dense = PassiveMeshSDF.from_tet_mesh(obs.vertices, obs.tets,
+                                         resolution=24)
+
+    rng = np.random.default_rng(5)
+    lo = obs.vertices.min(0)
+    hi = obs.vertices.max(0)
+    pts = np.concatenate([
+        rng.uniform(lo - 0.05, hi + 0.05, size=(500, 3)),
+        rng.uniform(lo - 3.0, lo - 1.0, size=(500, 3)),
+    ])
+    rng.shuffle(pts)
+    pts = jnp.asarray(pts)
+
+    d0, p0, n0 = (np.asarray(v) for v in dense.signed_distance(pts))
+    comp = dataclasses.replace(dense, near_lanes=700)
+    d1, p1, n1, ovf = comp.signed_distance_with_overflow(pts)
+    d1, p1, n1 = map(np.asarray, (d1, p1, n1))
+
+    assert not bool(ovf)
+    hit = d0 < 0
+    assert hit.sum() > 100
+    assert np.array_equal(d0[hit], d1[hit]), "a penetrating lane changed"
+    assert np.array_equal(p0[hit], p1[hit])
+    assert np.array_equal(n0[hit], n1[hit])
+    reported = d1 < 1e20
+    assert hit[~reported].sum() == 0, "compaction dropped a hit"
+    assert np.array_equal(d0[reported], d1[reported])
+
+    # Over-capacity: exact on the reported lanes, no-hit on the dropped
+    # ones, overflow surfaced through detect_passive.
+    tiny = dataclasses.replace(dense, near_lanes=8)
+    inner = jnp.asarray(rng.uniform(lo + 0.1, hi - 0.1, size=(128, 3)))
+    d2, _, _, ovf2 = tiny.signed_distance_with_overflow(inner)
+    d2 = np.asarray(d2)
+    d_ref = np.asarray(dense.signed_distance(inner)[0])
+    assert bool(ovf2)
+    rep = d2 < 1e20
+    assert 0 < rep.sum() <= 8
+    assert np.array_equal(d2[rep], d_ref[rep])
+    *_, ovf3 = detect_passive([tiny], inner)
+    assert bool(ovf3)
