@@ -91,19 +91,25 @@ class PassiveMeshSDF:
     """
 
     vals4: jax.Array  # [Gx*Gy*Gz, 4] packed (value, grad xyz) per node
+    # minv[b] = min over the 8 corners of the cube based at node b (+inf
+    # where b cannot be a base). The trilinear value is a convex
+    # combination of those corners, so interp(p) >= minv[base]: a cell
+    # with minv >= 0 provably cannot produce a contact. This is the
+    # TIGHTEST cell-level gate — cells graze-near the surface from
+    # outside are excluded (a value-threshold gate like v0 < sqrt(3)h is
+    # ~2 cells looser on both sides and overflowed real capacities).
+    minv: jax.Array  # [Gx*Gy*Gz]
     origin: jax.Array  # [3]
     h: jax.Array  # scalar spacing
     dims: tuple  # (Gx, Gy, Gz) static
     # Near-lane compaction capacity (static; 0 = dense), mirroring
-    # PassiveMeshExact.near_lanes: the trilinear value at a query is a
-    # convex combination of 8 corner samples of a 1-Lipschitz SDF whose
-    # pairwise distance is <= sqrt(3)h, so corner0 >= sqrt(3)h proves the
-    # interpolated value is positive and the lane can never contribute a
-    # contact. Tier 1 gathers ONE corner row (16 B) instead of 8 (128 B)
-    # and only compacted lanes pay the blend. Penetrating queries stay
-    # bit-exact vs dense; non-penetrating ones report no-hit. Overflow
-    # (more near lanes than capacity) degrades extras to no-hit and
-    # surfaces via detect_passive -> RuntimeData.collision_overflow.
+    # PassiveMeshExact.near_lanes: tier 1 gathers ONE minv scalar (4 B)
+    # per lane instead of the 8 [.,4] corner rows (128 B) and only
+    # compacted lanes pay the blend. Penetrating queries stay bit-exact
+    # vs dense; non-penetrating ones report no-hit (contact consumers
+    # only read dx < 0). Overflow (more near lanes than capacity)
+    # degrades extras to no-hit and surfaces via detect_passive ->
+    # RuntimeData.collision_overflow.
     near_lanes: int = 0
 
     def signed_distance(self, x):
@@ -124,8 +130,7 @@ class PassiveMeshSDF:
 
         k_near = int(self.near_lanes)
         if 0 < k_near < p.shape[0]:
-            v0 = self.vals4[base, 0].astype(dtype)  # [V] — one row/lane
-            near = v0 < jnp.sqrt(jnp.asarray(3.0, dtype)) * self.h.astype(dtype)
+            near = self.minv[base] < 0  # [V] — one 4 B scalar per lane
             _, sel = jax.lax.top_k(near.astype(jnp.int32), k_near)
             sel_mask = near[sel]
             dx_k, n_k = self._blend(base[sel], f[sel], dtype)
@@ -180,8 +185,18 @@ class PassiveMeshSDF:
         h = float(h)
         grad = np.stack(np.gradient(grid, h), axis=-1)  # [Gx, Gy, Gz, 3]
         vals4 = np.concatenate([grid[..., None], grad], axis=-1)
+        # Per-base-node cube minimum (see minv field note). Bases on the
+        # +1 border are never indexed (u is clipped to dims-1.000001) —
+        # leave them +inf.
+        minv = np.full(grid.shape, np.inf)
+        minv[:-1, :-1, :-1] = np.minimum.reduce([
+            grid[di:di + grid.shape[0] - 1,
+                 dj:dj + grid.shape[1] - 1,
+                 dk:dk + grid.shape[2] - 1]
+            for di in (0, 1) for dj in (0, 1) for dk in (0, 1)])
         return PassiveMeshSDF(
             vals4=jnp.asarray(vals4.reshape(-1, 4)),
+            minv=jnp.asarray(minv.reshape(-1)),
             origin=jnp.asarray(np.asarray(origin, dtype=np.float64)),
             h=jnp.asarray(h), dims=tuple(int(d) for d in grid.shape),
             near_lanes=int(near_lanes),
@@ -214,7 +229,7 @@ class PassiveMeshSDF:
 
 
 jax.tree_util.register_dataclass(
-    PassiveMeshSDF, data_fields=("vals4", "origin", "h"),
+    PassiveMeshSDF, data_fields=("vals4", "minv", "origin", "h"),
     meta_fields=("dims", "near_lanes"),
 )
 

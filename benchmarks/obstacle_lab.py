@@ -49,9 +49,9 @@ def build(kind, nx):
         # (k_near < n_lanes guard) and silently measures the dense path.
         near = {16: 512, 32: 2048}[nx] if kind.endswith("-compact") else 0
         if kind.startswith("sdf"):
-            # sdf-compact: tier-1 corner-sample gate — one 16 B row per
-            # lane decides; only possibly-penetrating lanes pay the
-            # 8-row blend.
+            # sdf-compact: tier-1 min-corner gate — one 4 B minv scalar
+            # per lane decides (minv >= 0 proves the cell contact-free);
+            # only straddle/inside-cell lanes pay the 8-row blend.
             solver.add_obstacle(PassiveMeshSDF.from_tet_mesh(
                 slab.vertices, slab.tets, resolution=48, near_lanes=near))
         else:
