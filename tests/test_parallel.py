@@ -219,3 +219,52 @@ def test_graft_entry():
     assert not bool(overflow)
     assert np.isfinite(np.asarray(out_state.x)).all()
     g.dryrun_multichip(8)
+
+
+def test_batched_step_compacted_mesh_obstacle():
+    """Batched scenes over a near-lane-compacted exact mesh obstacle: the
+    top_k compaction + scatter-back must vmap cleanly, every scene of a
+    stiffness sweep must rest ON the slab, and overflow stays clear.
+    Also pins the batched == single-scene equality through the compacted
+    detection path (vmapped lane indices must not leak across scenes)."""
+    import dataclasses
+
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.collision.passive import PassiveMeshExact
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks, make_xform
+    from admm_elastic_tpu.parallel.batch import (make_batched_step,
+                                                 make_scenario_batch)
+
+    def build():
+        obs = make_tet_blocks(4, 2, 4, cell=0.5)
+        obs.apply_xform(make_xform(trans=(0.0, -1.0, 0.0)))
+        exact = PassiveMeshExact.from_tet_mesh(
+            obs.vertices, obs.tets, cells=24, near_lanes=24)
+        mesh = make_tet_blocks(3, 2, 2, cell=0.4)
+        mesh.flags = binding.NOSELFCOLLISION | binding.LINEAR
+        mesh.apply_xform(make_xform(trans=(0.4, 0.6, 0.4)))
+        solver = Solver()
+        binding.add_tetmesh(solver, mesh, Lame.soft_rubber(), verbose=False)
+        solver.add_obstacle(exact)
+        st = Settings(verbose=0, admm_iters=10, linsolver=4, gravity=-9.8)
+        assert solver.initialize(st)
+        return solver
+
+    solver = build()
+    state0 = solver.state
+    batch = make_scenario_batch(
+        solver, 3, stiffness_scale=np.array([0.5, 1.0, 2.0]))
+    step = make_batched_step(solver, mesh=None, donate=False)
+    for _ in range(30):
+        batch = step(batch)
+    x = np.asarray(batch.x)
+    assert np.isfinite(x).all()
+    # Resting ON the slab top (y=0) in every scene of the sweep.
+    assert x[..., 1].min() > -0.05, x[..., 1].min()
+    assert x[..., 1].min() < 0.05
+    assert not np.asarray(batch.overflow).any()
+
+    # Scene 1 (scale 1.0) == the single-scene solver, step for step.
+    solver.state = state0
+    solver.run(30)
+    np.testing.assert_allclose(x[1], np.asarray(solver.x), atol=1e-9)
