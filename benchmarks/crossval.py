@@ -45,7 +45,16 @@ SCENES = [
     ("selfcollision_gs", dict(kind="boxes", model="linear", ls=1)),
     ("sphere_obstacle_gs", dict(kind="sphere", model="linear", ls=1)),
     ("sdf_obstacle_gs", dict(kind="sdf", model="linear", ls=1)),
+    # Tier-1 near-lane compaction (r4): near_lanes < n_verts engages the
+    # min-corner / candidate-count gate + top_k compaction + scatter-back
+    # on the accelerator. Hit semantics are bit-equal to dense by design
+    # (test_contact.py proves it on CPU); these scenes prove the compacted
+    # program also survives XLA:TPU fusion.
+    ("sdf_obstacle_compact_gs", dict(kind="sdf", model="linear", ls=1,
+                                     compact=32)),
     ("exactmesh_obstacle_gs", dict(kind="exactmesh", model="linear", ls=1)),
+    ("exactmesh_compact_gs", dict(kind="exactmesh", model="linear", ls=1,
+                                  compact=32)),
     # Deep-penetration fallback path (r4): a violent drop drives verts
     # beyond the exact grid's capture radius, exercising the lax.cond +
     # top_k compaction + scatter-back fallback on the accelerator.
@@ -56,7 +65,7 @@ SCENES = [
 STEPS = 8
 
 
-def run_scene(kind, model, ls, wind=False, steps=STEPS):
+def run_scene(kind, model, ls, wind=False, steps=STEPS, compact=0):
     import numpy as np
     import jax.numpy as jnp
 
@@ -111,7 +120,8 @@ def run_scene(kind, model, ls, wind=False, steps=STEPS):
 
         obs = make_tet_blocks(4, 2, 4, cell=0.5)
         obs.apply_xform(make_xform(trans=(0.0, -1.0, 0.0)))
-        sdf = PassiveMeshSDF.from_tet_mesh(obs.vertices, obs.tets, resolution=24)
+        sdf = PassiveMeshSDF.from_tet_mesh(obs.vertices, obs.tets, resolution=24,
+                                           near_lanes=compact)
         mesh = make_tet_blocks(3, 2, 2, cell=0.4)
         mesh.flags = binding.NOSELFCOLLISION | flag
         mesh.apply_xform(make_xform(trans=(0.4, 1.0, 0.4)))
@@ -125,7 +135,7 @@ def run_scene(kind, model, ls, wind=False, steps=STEPS):
         obs.apply_xform(make_xform(trans=(0.0, -1.0, 0.0)))
         exact = PassiveMeshExact.from_tet_mesh(
             obs.vertices, obs.tets, cells=32 if deep else 16,
-            fallback_lanes=256)
+            fallback_lanes=256, near_lanes=compact)
         mesh = make_tet_blocks(3, 2, 2, cell=0.4)
         mesh.flags = binding.NOSELFCOLLISION | flag
         mesh.apply_xform(make_xform(
@@ -155,6 +165,15 @@ def run_scene(kind, model, ls, wind=False, steps=STEPS):
         # step (capture radius 0.125 at cells=32) — the fallback regime.
         v0 = np.zeros((solver.x.shape[0], 3), np.float32)
         v0[:, 1] = -7.0
+        solver.v = v0
+    elif kind in ("sdf", "exactmesh"):
+        # Gravity alone reaches the slab only at step ~10; launch the
+        # body down so the 8 compared steps include real hits (otherwise
+        # these scenes only validate the narrow phase's no-hit masking).
+        # Contact lands ~step 6 with ~0.2 first-contact penetration —
+        # inside the exact path's 0.27 capture radius at cells=16.
+        v0 = np.zeros((solver.x.shape[0], 3), np.float32)
+        v0[:, 1] = -2.5
         solver.v = v0
     solver.run(steps)
     return np.asarray(solver.x, np.float64)
