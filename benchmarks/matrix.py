@@ -140,13 +140,23 @@ def _meshobs_solver(nx, ny, nz, narrow, linsolver=4,
     slab = make_tet_blocks(6, 2, 6, cell=0.25)
     slab.apply_xform(make_xform(trans=(-0.25, -0.6, -0.25)))
     # near_lanes (r4): tier-1 compaction — only lanes that could be
-    # penetrating pay the narrow-phase gathers. Capacity = next pow2 of
-    # 3x the body's bottom vertex layer (only penetrating layers land in
-    # tet-AABB cells / sub-sqrt(3)h corner samples): 1024 at 20k tets,
-    # 8192 at 160k. An overflow would surface via
-    # RuntimeData.collision_overflow, which the runner asserts clean
-    # after timing.
-    near = 1 << int(np.ceil(np.log2(3 * (nx + 1) * (nz + 1))))
+    # penetrating pay the narrow-phase gathers. Capacity is derived from
+    # the gate-band geometry: the tier-1 gate marks every body layer
+    # within one GATE CELL above the surface (exact: cells overlapping a
+    # slab tet's AABB reach <= h_grid = 1.5/32 above the top face; SDF:
+    # minv<0 straddle cells reach <= h_sdf = 1.7/47), so the steady
+    # near set is ceil(h_gate / layer_spacing) layers, plus 4 layers of
+    # margin (penetrating layer, cell alignment, resting jitter). The
+    # first formula (flat 3 layers) under-counted at 160k where one gate
+    # cell spans ~4 body layers, and the exact-160k timing overflowed.
+    # Warm-up IMPACT steps may still overflow (the drop arrives at
+    # ~2.4 m/s = 8 layers/step — warned honestly by Solver.run); the
+    # runner asserts RuntimeData.collision_overflow clean over the TIMED
+    # window only.
+    s_layer = 1.0 / nx
+    h_gate = 1.5 / 32 if narrow == "exact" else 1.7 / 47
+    layers = int(np.ceil(h_gate / s_layer)) + 4
+    near = 1 << int(np.ceil(np.log2(layers * (nx + 1) * (nz + 1))))
     if narrow == "exact":
         solver.add_obstacle(PassiveMeshExact.from_tet_mesh(
             slab.vertices, slab.tets, cells=32, near_lanes=near))
@@ -270,6 +280,11 @@ SCENES = {
     "meshobs-exact-20k": lambda: _meshobs_solver(40, 10, 10, "exact"),
     "meshobs-sdf-160k": lambda: _meshobs_solver(80, 20, 20, "sdf"),
     "meshobs-exact-160k": lambda: _meshobs_solver(80, 20, 20, "exact"),
+    # North-star tier for the last contact path (~512k tets on the slab).
+    "meshobs-sdf-500k": lambda: _meshobs_solver(100, 32, 32, "sdf",
+                                                pcg=("jacobi", 100, 1e-4)),
+    "meshobs-exact-500k": lambda: _meshobs_solver(100, 32, 32, "exact",
+                                                  pcg=("jacobi", 100, 1e-4)),
 }
 
 # Ours-label -> reference-label (modes the reference lacks reuse the
@@ -284,6 +299,8 @@ REF_LABEL = {
     "meshobs-exact-20k": "mesh-obstacle-20k",
     "meshobs-sdf-160k": "mesh-obstacle-160k",
     "meshobs-exact-160k": "mesh-obstacle-160k",
+    "meshobs-sdf-500k": "mesh-obstacle-500k",
+    "meshobs-exact-500k": "mesh-obstacle-500k",
 }
 
 

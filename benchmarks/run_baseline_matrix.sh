@@ -61,5 +61,6 @@ if [ -n "$BIG" ]; then
   run beam-floor-uzawa-500k 100 32 32 10 1 0 "" 2 -1.0
   run cloth-limit-160  160 160 0 10 3 3 "" 0 9999.0 0.95 1.05
   run torus-nh-500k 400 16 0 10 2 6
+  run mesh-obstacle-500k 100 32 32 10 1 5 "" 2 9999
 fi
 echo "wrote $RES" >&2
