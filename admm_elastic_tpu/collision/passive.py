@@ -411,29 +411,33 @@ class PassiveMeshExact:
         fmask = fmask & in_grid[:, None]
         dist, cl, n, any_face = self._closest_feature(p, fids, fmask)
 
-        # Inside test: exact point-in-tet over the cell's candidate tets.
-        kt = self.tet_table.shape[1]
-        tids = self.tet_table[cid]  # [V, Kt]
-        tmask = (jnp.arange(kt, dtype=jnp.int32)[None, :] < self.tet_count[cid][:, None])
-        tmask = tmask & in_grid[:, None]
-        trows = self.tet_pack[tids].astype(dtype)  # [V, Kt, 4, 3] — 1 gather
-        base = trows[..., 0, :]  # [V, Kt, 3]
-        einv = trows[..., 1:4, :]  # [V, Kt, 3, 3]
-        bco = jnp.einsum(
-            "vkij,vkj->vki", einv, p[:, None, :] - base,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        tol = jnp.asarray(1e-7, dtype)
-        ins = (bco >= -tol).all(-1) & (bco.sum(-1) <= 1.0 + tol) & tmask
-        inside = jnp.any(ins, axis=-1)
+        # Inside test (r4): sign of (p - closest)·pseudonormal at the
+        # closest feature — exact for closed meshes at the TRUE closest
+        # point (Baerentzen & Aanaes 2005, the same quantity the
+        # reference's BVH narrow phase signs with,
+        # src/PassiveObject.hpp:85-91) and free, since cl/n are already
+        # in hand. This replaced a per-lane point-in-tet scan over the
+        # cell's candidate tets: Kt tet-pack rows (40 x 48 B = 1.9 KB
+        # per lane on the block slab) were ~6x the bytes of the whole
+        # face side at XLA:TPU's flat ~3 GB/s gather rate, and the tet
+        # GEOMETRY added nothing — within the capture radius the
+        # candidate faces contain the global closest feature, so the
+        # sign is exact there; beyond it the fallback below recovers the
+        # global closest feature and the same test stays exact at any
+        # depth. The tet tables remain as the tier-1 occupancy gate
+        # (tet_count, one 4 B scalar per lane).
 
         # Deep-penetration fallback (reference src/PassiveObject.hpp:85-91
-        # finds the nearest triangle at ANY depth): lanes that are inside
-        # the solid but deeper than the grid's capture radius have no
-        # candidate triangle; compact up to `fallback_lanes` of them and
-        # project against ALL surface triangles. Guarded by lax.cond so
-        # steady shallow contact never pays the O(K*F) brute force.
-        need_fb = inside & ~any_face
+        # finds the nearest triangle at ANY depth): lanes in a
+        # tet-occupied cell with NO candidate face are provably inside
+        # deeper than the capture radius — a tet-marked cell lies < h
+        # beyond the surface per axis while face capture is 2h, so every
+        # OUTSIDE lane in a marked cell sees >= 1 candidate face.
+        # Compact up to `fallback_lanes` of them and project against ALL
+        # surface triangles. Guarded by lax.cond so steady shallow
+        # contact never pays the O(K*F) brute force.
+        near_tet = self.tet_count[cid] > 0
+        need_fb = in_grid & near_tet & ~any_face
         k_fb = min(int(self.fallback_lanes), p.shape[0])
         n_tris = self.tri_abc.shape[0]
         if k_fb > 0 and n_tris > 0:
@@ -458,6 +462,9 @@ class PassiveMeshExact:
                 jnp.any(need_fb), _deep_project, lambda args: args,
                 (dist, cl, n, any_face))
 
+        # Sign AFTER the fallback so deep lanes sign against the global
+        # closest feature.
+        inside = (jnp.sum((p - cl) * n, axis=-1) < 0) & any_face
         sgn = jnp.where(inside, -1.0, 1.0).astype(dtype)
         dx = jnp.where(any_face, sgn * dist, big)
         return dx, cl, n
