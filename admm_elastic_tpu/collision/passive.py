@@ -7,10 +7,11 @@ PassiveMesh does BVH point-in-tet + nearest-triangle per query
 
 - PassiveMeshExact — the reference's exact semantics with the BVH
   replaced by a fixed-capacity uniform-grid candidate table (exact
-  point-in-tet inside test, exact nearest-surface-triangle projection,
-  angle-weighted pseudonormal sign/normal). Trajectory parity with the
-  reference binary: 2.1e-6 over 40 steps (tests/test_parity.py::
-  test_mesh_obstacle_exact_parity).
+  nearest-surface-triangle projection; the inside test signs against the
+  angle-weighted pseudonormal of the closest feature, with a global
+  brute-force fallback whenever the candidate set cannot guarantee the
+  closest feature). Trajectory parity with the reference binary: 2.1e-6
+  over 40 steps (tests/test_parity.py::test_mesh_obstacle_exact_parity).
 - PassiveMeshSDF — a precomputed voxel SDF with trilinear interpolation
   + analytic gradient (one gather + lerp per query); the throughput
   option, with an O(h) accuracy envelope measured in
@@ -238,39 +239,45 @@ jax.tree_util.register_dataclass(
 class PassiveMeshExact:
     """Exact mesh-obstacle narrow phase (reference PassiveMesh semantics).
 
-    The reference resolves mesh obstacles with a BVH point-in-tet test
-    plus nearest-surface-triangle projection per query
-    (src/PassiveObject.hpp:67-107, :85-91 projection, :126-131 inside
-    test). Trees don't map to TPU; the equivalent here is a uniform grid
-    of FIXED-CAPACITY candidate lists (masked, so shapes never depend on
-    data):
+    The reference resolves mesh obstacles with a BVH point-in-tet inside
+    test plus nearest-surface-triangle projection per query, signing with
+    the raw face normal (src/PassiveObject.hpp:67-107, :85-91 projection,
+    :84-88 inside test). Trees don't map to TPU; the equivalent here is a
+    uniform grid of FIXED-CAPACITY candidate lists (masked, so shapes
+    never depend on data):
 
-    - inside test: exact barycentric point-in-tet over the cell's
-      candidate tets. A point inside a tet always lies in a cell that
-      tet's AABB overlaps, so this test is exact at ANY depth.
     - projection: exact Ericson closest-point over the cell's candidate
       surface triangles (every triangle within ``capture_cells`` grid
       cells), nearest feature classified from the barycentric clamp, and
       the outward normal taken from the angle-weighted pseudonormal of
       that feature (Baerentzen & Aanaes 2005) — well-defined on faces,
       edges and vertices alike, unlike the raw face normal.
+    - inside test: sign of (p - closest)·pseudonormal at the closest
+      feature. This is the Baerentzen-equivalent of the reference's BVH
+      point-in-tet sign, NOT its method — it is exact for closed meshes
+      whenever the closest feature is the TRUE global closest, which the
+      capture-radius guarantee (below) plus the fallback enforce.
 
-    Accuracy envelope: exact (same answer as the reference's BVH, up to
-    roundoff) whenever the penetration depth is at most the capture
-    radius (default 2 grid cells). Deeper points — the regime where the
+    Accuracy envelope: the candidate table provably contains the global
+    closest feature whenever the query's distance to the surface is at
+    most the capture radius (``capture_cells * h``, default 2 cells) —
+    faces are bucketed by per-axis AABB inflation, so Euclidean distance
+    <= capture implies capture. Lanes whose nearest CANDIDATE lies beyond
+    that radius (or that have no candidate at all) cannot rely on the
+    table: on non-convex meshes a spurious diagonal-band candidate could
+    mis-sign a deep interior point. Those lanes — the regime where the
     reference's BVH still finds the nearest triangle at ANY depth
-    (src/PassiveObject.hpp:85-91) — take the DEEP-PENETRATION FALLBACK:
-    lanes that test inside (exact at any depth) but have no candidate
-    triangle are compacted to a fixed-capacity set of ``fallback_lanes``
-    rows and projected by a brute-force argmin over ALL surface
-    triangles, so a fast body keeps its restoring constraint exactly
-    when penetration is worst. The fallback runs under a lax.cond, so
-    steady shallow contact never pays its O(K*F) cost; if more than
-    ``fallback_lanes`` queries are simultaneously that deep, the extras
-    report no-hit for the step (raise the capacity via ``from_tet_mesh``
-    for pathological scenes). Use PassiveMeshSDF when throughput matters
-    more than sharp features (the SDF is one gather per query; this is
-    ~K_f+K_t gathered candidate rows per query).
+    (src/PassiveObject.hpp:85-91) — take the DEEP FALLBACK: they are
+    compacted to a fixed-capacity set of ``fallback_lanes`` rows and
+    projected by a brute-force argmin over ALL surface triangles, so the
+    sign and restoring constraint stay exact at any depth. The fallback
+    runs under a lax.cond, so steady shallow contact never pays its
+    O(K*F) cost; if more than ``fallback_lanes`` lanes simultaneously
+    need it, the extras report no-hit for the step and the overflow is
+    surfaced through RuntimeData.collision_overflow (raise the capacity
+    via ``from_tet_mesh`` for pathological scenes). Use PassiveMeshSDF
+    when throughput matters more than sharp features (the SDF is one
+    gather per query; this is ~K_f gathered candidate rows per query).
     """
 
     # Packed per-triangle rows (r4): XLA:TPU gathers run ~3 GB/s at any
@@ -280,14 +287,22 @@ class PassiveMeshExact:
     # (face, vert a/b/c, edge ab/bc/ca) instead of three.
     tri_abc: jax.Array  # [F, 3, 3] corners a, b, c
     nrm: jax.Array  # [F, 7, 3] pseudonormals: nf, nv(a,b,c), ne(ab,bc,ca)
-    tet_pack: jax.Array  # [T, 4, 3] rows: base vertex, then E^-1 rows
     face_table: jax.Array  # [C, Kf] int32
     face_count: jax.Array  # [C] int32
-    tet_table: jax.Array  # [C, Kt] int32
+    # tet_count is the only piece of the tet tables kept on device: it is
+    # the tier-1 occupancy gate and the fallback trigger. The [T,4,3]
+    # tet_pack / [C,Kt] tet_table of the pre-r4 point-in-tet scan were
+    # dead weight after the pseudonormal-sign rewrite (~30 MB at 512k
+    # tets threaded through every jitted step) and are no longer baked.
     tet_count: jax.Array  # [C] int32
     origin: jax.Array  # [3]
     h: jax.Array  # scalar cell size
     dims: tuple  # (Gx, Gy, Gz) static
+    # Guaranteed-exact candidate radius in cells (static, bake-time):
+    # the face table contains the global closest feature for any query
+    # within capture_cells * h of the surface. _narrow routes lanes whose
+    # nearest candidate exceeds this radius to the deep fallback.
+    capture_cells: float = 2.0
     fallback_lanes: int = 128  # deep-penetration fallback capacity (static)
     # Near-lane compaction capacity (static; 0 = dense). The narrow phase
     # gathers ~Kf*36 B of candidate-triangle rows per query lane and
@@ -383,7 +398,7 @@ class PassiveMeshExact:
             near = in_grid & (self.tet_count[cid] > 0)
             _, sel = jax.lax.top_k(near.astype(jnp.int32), k_near)
             sel_mask = near[sel]
-            dx_k, cl_k, n_k = self._narrow(
+            dx_k, cl_k, n_k, fb_ovf = self._narrow(
                 p[sel], cid[sel], sel_mask, dtype, big)
             dx = jnp.full((p.shape[0],), big, dtype)
             dx = dx.at[sel].set(jnp.where(sel_mask, dx_k, big))
@@ -391,18 +406,21 @@ class PassiveMeshExact:
                 jnp.where(sel_mask[:, None], cl_k, 0.0))
             n = jnp.zeros_like(p).at[sel].set(
                 jnp.where(sel_mask[:, None], n_k, 0.0))
-            overflow = jnp.sum(near.astype(jnp.int32)) > k_near
+            overflow = (jnp.sum(near.astype(jnp.int32)) > k_near) | fb_ovf
         else:
-            dx, cl, n = self._narrow(p, cid, in_grid, dtype, big)
-            overflow = jnp.asarray(False)
+            dx, cl, n, fb_ovf = self._narrow(p, cid, in_grid, dtype, big)
+            overflow = fb_ovf
         return (dx.reshape(lead), cl.reshape(lead + (3,)),
                 n.reshape(lead + (3,)), overflow)
 
     def _narrow(self, p, cid, valid, dtype, big):
-        """Exact narrow phase over [V] query lanes (dx, closest, normal).
+        """Exact narrow phase over [V] query lanes.
 
-        ``valid`` masks lanes allowed to report candidates (in-grid and,
-        under compaction, actually selected)."""
+        Returns (dx, closest, normal, fb_overflow); ``valid`` masks lanes
+        allowed to report candidates (in-grid and, under compaction,
+        actually selected). fb_overflow is True iff more lanes needed the
+        deep fallback than ``fallback_lanes`` could serve (the extras
+        report no-hit — never a wrong sign, never a silent drop)."""
         in_grid = valid
         # Narrow phase: exact closest point over the cell's candidate tris.
         kf = self.face_table.shape[1]
@@ -413,36 +431,49 @@ class PassiveMeshExact:
 
         # Inside test (r4): sign of (p - closest)·pseudonormal at the
         # closest feature — exact for closed meshes at the TRUE closest
-        # point (Baerentzen & Aanaes 2005, the same quantity the
-        # reference's BVH narrow phase signs with,
-        # src/PassiveObject.hpp:85-91) and free, since cl/n are already
+        # feature (Baerentzen & Aanaes 2005; the Baerentzen-EQUIVALENT of
+        # the reference's inside test, which signs via BVH point-in-tet
+        # and projects with the raw face normal,
+        # src/PassiveObject.hpp:84-91) and free, since cl/n are already
         # in hand. This replaced a per-lane point-in-tet scan over the
         # cell's candidate tets: Kt tet-pack rows (40 x 48 B = 1.9 KB
         # per lane on the block slab) were ~6x the bytes of the whole
         # face side at XLA:TPU's flat ~3 GB/s gather rate, and the tet
-        # GEOMETRY added nothing — within the capture radius the
-        # candidate faces contain the global closest feature, so the
-        # sign is exact there; beyond it the fallback below recovers the
-        # global closest feature and the same test stays exact at any
-        # depth. The tet tables remain as the tier-1 occupancy gate
-        # (tet_count, one 4 B scalar per lane).
+        # GEOMETRY added nothing — the sign only needs the TRUE closest
+        # feature, which the capture guarantee (<= capture radius) or
+        # the fallback (beyond it) supplies. The tet tables survive only
+        # as the tier-1 occupancy gate (tet_count, one 4 B scalar/lane).
 
-        # Deep-penetration fallback (reference src/PassiveObject.hpp:85-91
-        # finds the nearest triangle at ANY depth): lanes in a
-        # tet-occupied cell with NO candidate face are provably inside
-        # deeper than the capture radius — a tet-marked cell lies < h
-        # beyond the surface per axis while face capture is 2h, so every
-        # OUTSIDE lane in a marked cell sees >= 1 candidate face.
-        # Compact up to `fallback_lanes` of them and project against ALL
-        # surface triangles. Guarded by lax.cond so steady shallow
-        # contact never pays the O(K*F) brute force.
+        # Deep fallback (reference src/PassiveObject.hpp:85-91 finds the
+        # nearest triangle at ANY depth). Two trigger classes, both in
+        # tet-occupied cells (a point inside a tet always lies in a cell
+        # that tet's AABB overlaps, so near_tet=False proves outside):
+        #  (a) NO candidate face — provably deeper than the capture
+        #      radius (every outside lane in a marked cell is within
+        #      ~sqrt(3)h of the surface, well inside 2h face capture);
+        #  (b) nearest CANDIDATE beyond the capture radius — the table
+        #      only guarantees the global closest feature within
+        #      capture_cells*h (per-axis AABB inflation), so a deeper
+        #      lane can see ONLY a spurious diagonal-band candidate and
+        #      signing against it can misclassify an inside point as
+        #      outside on non-convex meshes. (Outside lanes in marked
+        #      cells are within sqrt(3)h < capture, so (b) only fires on
+        #      genuinely deep interior lanes — steady shallow contact
+        #      never pays the fallback.)
+        # Flagged lanes are compacted to `fallback_lanes` rows and
+        # projected by brute-force argmin over ALL surface triangles, so
+        # sign and projection stay exact at any depth. Guarded by
+        # lax.cond so the O(K*F) cost is only paid when someone is deep.
         near_tet = self.tet_count[cid] > 0
-        need_fb = in_grid & near_tet & ~any_face
+        capture = (jnp.asarray(self.capture_cells, dtype)
+                   * self.h.astype(dtype))
+        need_fb = in_grid & near_tet & (~any_face | (dist > capture))
+        resolved = ~need_fb
         k_fb = min(int(self.fallback_lanes), p.shape[0])
         n_tris = self.tri_abc.shape[0]
         if k_fb > 0 and n_tris > 0:
             def _deep_project(args):
-                dist_, cl_, n_, any_ = args
+                dist_, cl_, n_, any_, res_ = args
                 _, sel = jax.lax.top_k(need_fb.astype(jnp.int32), k_fb)
                 sel_mask = need_fb[sel]  # [K]
                 all_f = jnp.broadcast_to(
@@ -456,18 +487,29 @@ class PassiveMeshExact:
                 cl_ = cl_.at[sel].set(keep(cl_f, cl_[sel], sel_mask[:, None]))
                 n_ = n_.at[sel].set(keep(n_f, n_[sel], sel_mask[:, None]))
                 any_ = any_.at[sel].set(keep(any_f, any_[sel], sel_mask))
-                return dist_, cl_, n_, any_
+                res_ = res_.at[sel].set(jnp.where(sel_mask, True, res_[sel]))
+                return dist_, cl_, n_, any_, res_
 
-            dist, cl, n, any_face = jax.lax.cond(
+            dist, cl, n, any_face, resolved = jax.lax.cond(
                 jnp.any(need_fb), _deep_project, lambda args: args,
-                (dist, cl, n, any_face))
+                (dist, cl, n, any_face, resolved))
+
+        # Lanes the fallback could not serve (capacity overflow, or a
+        # degenerate zero-triangle mesh) have no guaranteed-exact answer:
+        # demote them to no-hit and surface the overflow.
+        fb_overflow = jnp.any(~resolved)
+        any_face = any_face & resolved
 
         # Sign AFTER the fallback so deep lanes sign against the global
-        # closest feature.
-        inside = (jnp.sum((p - cl) * n, axis=-1) < 0) & any_face
+        # closest feature. The & near_tet gate is an outside PROOF: an
+        # inside point always sits in a tet-marked cell, so unmarked-cell
+        # lanes are outside no matter what a spurious far candidate's
+        # pseudonormal says — this kills phantom hits beyond the capture
+        # radius (the mirror image of the deep-band mis-sign above).
+        inside = (jnp.sum((p - cl) * n, axis=-1) < 0) & any_face & near_tet
         sgn = jnp.where(inside, -1.0, 1.0).astype(dtype)
         dx = jnp.where(any_face, sgn * dist, big)
-        return dx, cl, n
+        return dx, cl, n, fb_overflow
 
     @staticmethod
     def from_tet_mesh(verts: np.ndarray, tets: np.ndarray, cells: int = 32,
@@ -554,19 +596,20 @@ class PassiveMeshExact:
         face_table, face_count = build_table(
             tri_pts.min(axis=1), tri_pts.max(axis=1), capture)
         x4 = verts[tets]
-        tet_table, tet_count = build_table(x4.min(axis=1), x4.max(axis=1), 0.0)
-        e = np.stack([x4[:, 1] - x4[:, 0], x4[:, 2] - x4[:, 0], x4[:, 3] - x4[:, 0]], axis=-1)
-        einv = np.linalg.inv(e)
+        # Only the per-cell tet OCCUPANCY survives on device (tier-1 gate
+        # + fallback trigger); the candidate ids themselves are dead
+        # since the pseudonormal-sign rewrite.
+        _, tet_count = build_table(x4.min(axis=1), x4.max(axis=1), 0.0)
 
         jarr = lambda arr: jnp.asarray(np.asarray(arr, dtype=np.float64))
         return PassiveMeshExact(
             tri_abc=jarr(np.stack([a, b, c], axis=1)),
             nrm=jarr(np.concatenate(
                 [nf[:, None, :], n_vert, n_edge], axis=1)),
-            tet_pack=jarr(np.concatenate([x4[:, :1], einv], axis=1)),
             face_table=jnp.asarray(face_table), face_count=jnp.asarray(face_count),
-            tet_table=jnp.asarray(tet_table), tet_count=jnp.asarray(tet_count),
+            tet_count=jnp.asarray(tet_count),
             origin=jarr(lo), h=jnp.asarray(float(h)), dims=dims,
+            capture_cells=float(capture_cells),
             fallback_lanes=int(fallback_lanes), near_lanes=int(near_lanes),
         )
 
@@ -575,10 +618,10 @@ jax.tree_util.register_dataclass(
     PassiveMeshExact,
     data_fields=(
         "tri_abc", "nrm",
-        "tet_pack", "face_table", "face_count",
-        "tet_table", "tet_count", "origin", "h",
+        "face_table", "face_count",
+        "tet_count", "origin", "h",
     ),
-    meta_fields=("dims", "fallback_lanes", "near_lanes"),
+    meta_fields=("dims", "capture_cells", "fallback_lanes", "near_lanes"),
 )
 
 

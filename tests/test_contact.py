@@ -610,6 +610,58 @@ def test_mesh_exact_deep_impact_restores():
     assert x[:, 1].min() < 0.1, "hovering above the slab"
 
 
+def test_mesh_exact_nonconvex_sign_oracle():
+    """Deep-band sign exactness on a NON-CONVEX obstacle (r5 fix).
+
+    Candidate faces are captured by per-axis AABB inflation, so a point
+    deeper inside than the capture radius can see ONLY a spurious
+    diagonal-band candidate; pre-r5 any_face=True suppressed the deep
+    fallback and signing against that wrong feature could misclassify an
+    inside point as outside on non-convex meshes (the convex benchmark
+    slabs never trip it — ADVICE r4). The fallback now also triggers
+    when the nearest candidate exceeds the guaranteed-exact radius, and
+    the sign is gated on tet-cell occupancy (an outside proof), so on a
+    torus at a deliberately tight capture radius: every inside oracle
+    point must report its exact global penetration, and no outside point
+    may report a phantom hit.
+    """
+    from admm_elastic_tpu.collision.passive import (
+        PassiveMeshExact, _point_tri_distance_np, _points_in_tets_np)
+    from admm_elastic_tpu.geometry.factory import make_tet_torus
+    from admm_elastic_tpu.geometry.mesh import surface_faces_from_tets
+
+    obs = make_tet_torus(major_radius=1.0, minor_radius=0.45,
+                         n_ring=16, n_sec=4)
+    faces = surface_faces_from_tets(obs.tets)
+    rng = np.random.default_rng(5)
+    lo = obs.vertices.min(0) - 0.05
+    hi = obs.vertices.max(0) + 0.05
+    pts = rng.uniform(lo, hi, size=(1500, 3))
+    d_ref = _point_tri_distance_np(pts, obs.vertices, faces)
+    ins_ref = _points_in_tets_np(pts, obs.vertices, obs.tets)
+    sure = d_ref > 1e-6  # keep sign assertions away from roundoff ties
+
+    for capture_cells in (1.0, 2.0):
+        m = PassiveMeshExact.from_tet_mesh(
+            obs.vertices, obs.tets, cells=20, capture_cells=capture_cells,
+            fallback_lanes=2048)
+        dx, point, normal, ovf = (np.asarray(v) for v in
+            m.signed_distance_with_overflow(jnp.asarray(pts)))
+        assert not bool(ovf)
+
+        inn = ins_ref & sure
+        assert inn.sum() > 100
+        assert (dx[inn] < 0).all(), "inside point misclassified as outside"
+        assert np.abs(dx[inn] + d_ref[inn]).max() < 1e-10, \
+            "penetration depth != global nearest surface distance"
+        out = ~ins_ref & sure
+        assert (dx[out] >= 0).all(), "outside point reported a phantom hit"
+        # In-capture outside distances match the global oracle too.
+        near_out = out & (d_ref < capture_cells * float(np.asarray(m.h)))
+        assert near_out.sum() > 50
+        assert np.abs(dx[near_out] - d_ref[near_out]).max() < 1e-10
+
+
 def test_mesh_exact_near_lane_compaction_matches_dense():
     """near_lanes compaction is contact-exact vs the dense narrow phase.
 
