@@ -331,9 +331,19 @@ class PassiveMeshExact:
         p [V, 3]; fids [V, K] rows into the triangle soup; fmask [V, K].
         Returns (dist [V], closest [V,3], normal [V,3], any_face [V]).
         """
+        abc = self.tri_abc[fids].astype(p.dtype)  # [V, K, 3, 3] — one gather
+        return self._closest_over(p, abc, fmask, fids=fids)
+
+    def _closest_over(self, p, abc, fmask, fids=None):
+        """Core closest-feature kernel over given candidate corners.
+
+        abc [V, K, 3, 3]; fids maps the K axis to triangle-soup rows
+        (None = the K axis IS the soup row order — the fallback's
+        broadcast full-soup form, which avoids the [V, K, 3, 3] gather
+        entirely: the corners stream as a broadcast).
+        """
         dtype = p.dtype
         big = jnp.asarray(1e30, dtype)
-        abc = self.tri_abc[fids].astype(dtype)  # [V, K, 3, 3] — one gather
         a, b, c = abc[..., 0, :], abc[..., 1, :], abc[..., 2, :]
         closest, v, w = _pt_tri_closest(p[:, None, :], a, b, c)
         d2 = jnp.sum((p[:, None, :] - closest) ** 2, axis=-1)
@@ -345,21 +355,27 @@ class PassiveMeshExact:
         v_s, w_s = take1(v), take1(w)
         any_face = jnp.any(fmask, axis=1)
 
-        # Outward normal: angle-weighted pseudonormal of the closest feature.
-        fid_s = take1(fids)
-        nrm = self.nrm[fid_s].astype(dtype)  # [V, 7, 3] — one gather
-        nf = nrm[:, 0]  # [V, 3]
-        nv = nrm[:, 1:4]  # [V, 3, 3]
-        ne = nrm[:, 4:7]  # [V, 3, 3]
+        # Outward normal: angle-weighted pseudonormal of the closest
+        # feature. The feature REGION is classified first from the
+        # barycentric clamp and only that one [3] row is gathered
+        # (nrm flat row fid*7 + region) — the r4 form gathered all 7 rows
+        # per lane (84 B) and selected afterwards, which obstacle_lab2
+        # measured at 2.3 ms/call at the 500k matrix geometry (~17% of
+        # the whole narrow phase) against 0.15 ms for the one-row form.
+        fid_s = j if fids is None else take1(fids)
         eps = jnp.asarray(1e-5, dtype)
         u_s = 1.0 - v_s - w_s
-        n = nf
-        n = jnp.where((u_s <= eps)[:, None], ne[:, 1], n)  # edge bc
-        n = jnp.where((v_s <= eps)[:, None], ne[:, 2], n)  # edge ca
-        n = jnp.where((w_s <= eps)[:, None], ne[:, 0], n)  # edge ab
-        n = jnp.where((w_s >= 1.0 - eps)[:, None], nv[:, 2], n)  # vertex c
-        n = jnp.where((v_s >= 1.0 - eps)[:, None], nv[:, 1], n)  # vertex b
-        n = jnp.where(((v_s <= eps) & (w_s <= eps))[:, None], nv[:, 0], n)
+        # Region codes follow the nrm row layout: 0 face, 1-3 vertex
+        # a/b/c, 4-6 edge ab/bc/ca. Same conditions, same override order
+        # as the r4 vector where-chain — bit-identical selection.
+        idx = jnp.zeros(j.shape, jnp.int32)
+        idx = jnp.where(u_s <= eps, 5, idx)  # edge bc
+        idx = jnp.where(v_s <= eps, 6, idx)  # edge ca
+        idx = jnp.where(w_s <= eps, 4, idx)  # edge ab
+        idx = jnp.where(w_s >= 1.0 - eps, 3, idx)  # vertex c
+        idx = jnp.where(v_s >= 1.0 - eps, 2, idx)  # vertex b
+        idx = jnp.where((v_s <= eps) & (w_s <= eps), 1, idx)  # vertex a
+        n = self.nrm.reshape(-1, 3)[fid_s * 7 + idx].astype(dtype)  # [V, 3]
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
         return dist, cl, n, any_face
 
@@ -462,43 +478,44 @@ class PassiveMeshExact:
         #      never pays the fallback.)
         # Flagged lanes are compacted to `fallback_lanes` rows and
         # projected by brute-force argmin over ALL surface triangles, so
-        # sign and projection stay exact at any depth. Guarded by
-        # lax.cond so the O(K*F) cost is only paid when someone is deep.
+        # sign and projection stay exact at any depth. The fallback runs
+        # UNCONDITIONALLY (keep() masks it to a no-op when no lane needs
+        # it): its corners arrive as a broadcast of the whole soup — no
+        # gather — so the whole pass is ~[k_fb, F] streamed VPU work.
+        # The r4 form wrapped it in lax.cond "so shallow contact never
+        # pays it", but obstacle_lab2 measured that cond at 5.9 ms/call
+        # UNTAKEN at the 500k matrix geometry (~43% of the narrow phase
+        # — XLA pays for the gather-based branch either way), vs ~0.3 ms
+        # for this unconditional broadcast form.
         near_tet = self.tet_count[cid] > 0
         capture = (jnp.asarray(self.capture_cells, dtype)
                    * self.h.astype(dtype))
         need_fb = in_grid & near_tet & (~any_face | (dist > capture))
-        resolved = ~need_fb
+        unresolved = need_fb
         k_fb = min(int(self.fallback_lanes), p.shape[0])
         n_tris = self.tri_abc.shape[0]
         if k_fb > 0 and n_tris > 0:
-            def _deep_project(args):
-                dist_, cl_, n_, any_, res_ = args
-                _, sel = jax.lax.top_k(need_fb.astype(jnp.int32), k_fb)
-                sel_mask = need_fb[sel]  # [K]
-                all_f = jnp.broadcast_to(
-                    jnp.arange(n_tris, dtype=jnp.int32)[None, :],
-                    (k_fb, n_tris))
-                dist_f, cl_f, n_f, any_f = self._closest_feature(
-                    p[sel], all_f,
-                    jnp.broadcast_to(sel_mask[:, None], (k_fb, n_tris)))
-                keep = lambda new, old, m: jnp.where(m, new, old)
-                dist_ = dist_.at[sel].set(keep(dist_f, dist_[sel], sel_mask))
-                cl_ = cl_.at[sel].set(keep(cl_f, cl_[sel], sel_mask[:, None]))
-                n_ = n_.at[sel].set(keep(n_f, n_[sel], sel_mask[:, None]))
-                any_ = any_.at[sel].set(keep(any_f, any_[sel], sel_mask))
-                res_ = res_.at[sel].set(jnp.where(sel_mask, True, res_[sel]))
-                return dist_, cl_, n_, any_, res_
-
-            dist, cl, n, any_face, resolved = jax.lax.cond(
-                jnp.any(need_fb), _deep_project, lambda args: args,
-                (dist, cl, n, any_face, resolved))
+            _, sel = jax.lax.top_k(need_fb.astype(jnp.int32), k_fb)
+            sel_mask = need_fb[sel]  # [K]
+            abc_all = jnp.broadcast_to(
+                self.tri_abc.astype(dtype)[None], (k_fb, n_tris, 3, 3))
+            dist_f, cl_f, n_f, any_f = self._closest_over(
+                p[sel], abc_all,
+                jnp.broadcast_to(sel_mask[:, None], (k_fb, n_tris)))
+            keep = lambda new, old, m: jnp.where(m, new, old)
+            dist = dist.at[sel].set(keep(dist_f, dist[sel], sel_mask))
+            cl = cl.at[sel].set(keep(cl_f, cl[sel], sel_mask[:, None]))
+            n = n.at[sel].set(keep(n_f, n[sel], sel_mask[:, None]))
+            any_face = any_face.at[sel].set(
+                keep(any_f, any_face[sel], sel_mask))
+            unresolved = unresolved.at[sel].set(
+                jnp.where(sel_mask, False, unresolved[sel]))
 
         # Lanes the fallback could not serve (capacity overflow, or a
         # degenerate zero-triangle mesh) have no guaranteed-exact answer:
         # demote them to no-hit and surface the overflow.
-        fb_overflow = jnp.any(~resolved)
-        any_face = any_face & resolved
+        fb_overflow = jnp.any(unresolved)
+        any_face = any_face & ~unresolved
 
         # Sign AFTER the fallback so deep lanes sign against the global
         # closest feature. The & near_tet gate is an outside PROOF: an

@@ -60,6 +60,20 @@ SCENES = [
     # top_k compaction + scatter-back fallback on the accelerator.
     ("exactmesh_deep_gs", dict(kind="exactmesh_deep", model="linear", ls=1)),
     ("torus_nh_pcg", dict(kind="torus", model="neohookean", ls=3)),
+    # Real reference mesh (r5, VERDICT #6): the reference's own
+    # bunny_1124.node/.ele verbatim — an irregular non-lattice tet mesh,
+    # so the gather (non-stencil) element path + RCM banding run on a
+    # mesh the builder didn't generate. 1-step NH at the tight bound plus
+    # an 8-step LDLT trajectory.
+    ("bunny_nh_pcg_1step", dict(kind="bunny", model="neohookean", ls=3,
+                                steps=1)),
+    ("bunny_linear_ldlt", dict(kind="bunny", model="linear", ls=0)),
+    # Batched/chunked scale-out path (r5, VERDICT #5): the scale-out
+    # number of record runs through make_batched_step +
+    # _debloat_for_throughput — a vmap-axis lowering with CPU tests but
+    # (pre-r5) zero TPU-vs-CPU trajectory crossvalidation. S=4 scenes,
+    # mixed stiffness + gravity, floor contact through AL-PCG.
+    ("batched_contact_alpcg", dict(kind="batched", model="linear", ls=4)),
 ]
 
 STEPS = 8
@@ -156,10 +170,37 @@ def run_scene(kind, model, ls, wind=False, steps=STEPS, compact=0):
             m.apply_xform(make_xform(trans=(0.0, i * 1.1, 0.05 * i)))
             binding.add_tetmesh(solver, m, Lame.rubber(), verbose=False)
         solver.add_obstacle(Floor(y=jnp.asarray(-1.0)))
+    elif kind == "bunny":
+        from admm_elastic_tpu.geometry.io import load_elenode
+
+        mesh = load_elenode("/root/reference/samples/data/bunny_1124")
+        mesh.flags = binding.NOSELFCOLLISION | flag
+        binding.add_tetmesh(solver, mesh, Lame.soft_rubber(), verbose=False)
+        # Pin the bottom band (the feet) and let the body hang.
+        ylo = mesh.vertices[:, 1].min()
+        solver.set_pins(
+            [int(i) for i in np.where(mesh.vertices[:, 1] < ylo + 0.015)[0]])
+    elif kind == "batched":
+        mesh = make_tet_blocks(6, 3, 3)
+        mesh.flags = binding.NOSELFCOLLISION | flag
+        binding.add_tetmesh(solver, mesh, Lame.soft_rubber(), verbose=False)
+        solver.add_obstacle(Floor(y=jnp.asarray(-1.0)))
     st = Settings(verbose=0, admm_iters=10, linsolver=ls,
                   gravity=(0.0 if wind else -9.8), dtype=np.float32,
                   direct_mode="inv")
     assert solver.initialize(st)
+    if kind == "batched":
+        from admm_elastic_tpu.parallel.batch import (make_batched_step,
+                                                     make_scenario_batch)
+
+        step = make_batched_step(solver, mesh=None, donate=False)
+        batch = make_scenario_batch(
+            solver, 4, stiffness_scale=np.asarray([0.5, 1.0, 2.0, 4.0]),
+            gravity=np.asarray([-9.8, -9.8, -5.0, -15.0]))
+        for _ in range(steps):
+            batch = step(batch)
+        assert not bool(np.asarray(batch.overflow).any())
+        return np.asarray(batch.x, np.float64).reshape(-1, 3)
     if kind == "exactmesh_deep":
         # Slam the body into the slab: ~0.29 penetration in the first
         # step (capture radius 0.125 at cells=32) — the fallback regime.

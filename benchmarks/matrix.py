@@ -145,18 +145,23 @@ def _meshobs_solver(nx, ny, nz, narrow, linsolver=4,
     # within one GATE CELL above the surface (exact: cells overlapping a
     # slab tet's AABB reach <= h_grid = 1.5/32 above the top face; SDF:
     # minv<0 straddle cells reach <= h_sdf = 1.7/47), so the steady
-    # near set is ceil(h_gate / layer_spacing) layers, plus 4 layers of
-    # margin (penetrating layer, cell alignment, resting jitter). The
-    # first formula (flat 3 layers) under-counted at 160k where one gate
-    # cell spans ~4 body layers, and the exact-160k timing overflowed.
+    # near set is ceil(h_gate / layer_spacing) layers, plus 2 layers of
+    # margin (cell alignment, resting jitter). The r3 formula (flat 3
+    # layers) under-counted at 160k where one gate cell spans ~4 body
+    # layers and the exact-160k timing overflowed; the r4 formula (+4
+    # margin, pow2-rounded) over-provisioned ~2x — and obstacle_lab2
+    # measured the whole narrow phase K-PROPORTIONAL (K/2 probe: 13.85
+    # -> 6.88 ms/call at 500k), so capacity slack is paid linearly every
+    # detection. r5: +2 margin, rounded up to 512 lanes (measured steady
+    # near set at 500k: 16665 = 5 layers; this grants 7).
     # Warm-up IMPACT steps may still overflow (the drop arrives at
     # ~2.4 m/s = 8 layers/step — warned honestly by Solver.run); the
     # runner asserts RuntimeData.collision_overflow clean over the TIMED
     # window only.
     s_layer = 1.0 / nx
     h_gate = 1.5 / 32 if narrow == "exact" else 1.7 / 47
-    layers = int(np.ceil(h_gate / s_layer)) + 4
-    near = 1 << int(np.ceil(np.log2(layers * (nx + 1) * (nz + 1))))
+    layers = int(np.ceil(h_gate / s_layer)) + 2
+    near = -(-(layers * (nx + 1) * (nz + 1)) // 512) * 512
     if narrow == "exact":
         solver.add_obstacle(PassiveMeshExact.from_tet_mesh(
             slab.vertices, slab.tets, cells=32, near_lanes=near))

@@ -63,3 +63,54 @@ def test_tet_bunny_like_valid():
     m2 = make_tet_bunny_like(600)
     np.testing.assert_array_equal(m.tets, m2.tets)
     np.testing.assert_allclose(m.vertices, m2.vertices)
+
+
+def test_reference_bunny_elenode_end_to_end():
+    """The reference's own bunny_1124.node/.ele verbatim (VERDICT r5 #6):
+    an irregular, non-lattice tet mesh through initialize -> step on both
+    the direct (LDLT-equivalent) and PCG global modes. This drives the
+    gather (non-stencil) element path and the RCM banding on a mesh the
+    builder didn't generate; every other benchmark/parity scene uses
+    factory lattices. Asserts: loads with positive volumes, the stencil
+    detector correctly declines the irregular topology, pins track
+    exactly, trajectories stay finite, and the two global modes agree."""
+    import os
+
+    import pytest
+
+    base = "/root/reference/samples/data/bunny_1124"
+    if not os.path.exists(base + ".node"):
+        pytest.skip("reference sample data not mounted")
+
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.geometry.io import load_elenode
+
+    mesh = load_elenode(base)
+    assert len(mesh.vertices) == 777 and len(mesh.tets) == 2510
+    assert tet_volumes(mesh.vertices, mesh.tets).min() > 0
+
+    def run(ls):
+        s = Solver()
+        m = load_elenode(base)
+        m.flags = binding.NOSELFCOLLISION | binding.NEOHOOKEAN
+        binding.add_tetmesh(s, m, Lame.soft_rubber(), verbose=False)
+        ylo = m.vertices[:, 1].min()
+        pins = [int(i) for i in np.where(m.vertices[:, 1] < ylo + 0.015)[0]]
+        s.set_pins(pins)
+        assert s.initialize(Settings(verbose=0, admm_iters=10, linsolver=ls))
+        # Irregular topology: the lattice stencil must NOT engage.
+        assert s.system.tets[0].stencil is None
+        s.run(5)
+        x = np.asarray(s.x)
+        assert np.isfinite(x).all()
+        np.testing.assert_allclose(
+            x[pins], m.vertices[pins], atol=1e-6,
+            err_msg="pinned feet drifted")
+        # The body hangs: unpinned verts moved, nothing exploded.
+        assert 1e-6 < np.abs(x - m.vertices).max() < 0.2
+        return x
+
+    x_direct = run(0)
+    x_pcg = run(3)
+    assert np.abs(x_direct - x_pcg).max() < 5e-4, \
+        "direct and PCG disagree on the reference bunny"

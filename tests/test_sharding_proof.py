@@ -170,6 +170,123 @@ def test_shard_wrap_stencil_torus_partitions_and_matches():
                                atol=1e-9)
 
 
+def _meshobs_shard_solver(obstacle_kind, near_lanes, start_depth=0.3,
+                          admm_iters=3, pcg_max_iters=20):
+    """1024-vert body (divisible by the 8-way shard axis) dropped onto a
+    tet-meshed slab resolved through the chosen mesh narrow phase with
+    tier-1 near-lane compaction engaged."""
+    from admm_elastic_tpu import Lame, Settings, Solver, binding
+    from admm_elastic_tpu.collision.passive import (PassiveMeshExact,
+                                                    PassiveMeshSDF)
+    from admm_elastic_tpu.geometry.factory import make_tet_blocks, make_xform
+
+    body = make_tet_blocks(15, 7, 7, cell=0.1)  # 1024 verts
+    body.flags = binding.NOSELFCOLLISION | binding.LINEAR
+    body.apply_xform(make_xform(trans=(0.0, -start_depth, 0.0)))
+    solver = Solver()
+    binding.add_tetmesh(solver, body, Lame.soft_rubber(), verbose=False)
+
+    slab = make_tet_blocks(4, 2, 4, cell=0.5)  # top face at y = 0
+    slab.apply_xform(make_xform(trans=(-0.25, -1.0, -0.25)))
+    if obstacle_kind == "exact":
+        # cells=16 -> h = 0.125, capture = 0.25: a 0.3-deep start drives
+        # the deep-fallback lax.cond's TRUE branch through the shard axis.
+        solver.add_obstacle(PassiveMeshExact.from_tet_mesh(
+            slab.vertices, slab.tets, cells=16, near_lanes=near_lanes,
+            fallback_lanes=512))
+    else:
+        solver.add_obstacle(PassiveMeshSDF.from_tet_mesh(
+            slab.vertices, slab.tets, resolution=24, near_lanes=near_lanes))
+    st = Settings(verbose=0, admm_iters=admm_iters, linsolver=4,
+                  gravity=-9.8, pcg_max_iters=pcg_max_iters, pcg_tol=1e-6)
+    assert solver.initialize(st)
+    return solver
+
+
+def _assert_sharded_matches(solver, n_steps, atol=1e-7):
+    """Shared skeleton: collectives present, shard shapes partitioned,
+    sharded == unsharded trajectory; returns the sharded batch."""
+    from admm_elastic_tpu.parallel.batch import (make_batched_step,
+                                                 make_scenario_batch)
+
+    n_verts = solver._n_verts
+    n_shard = 8
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(1, n_shard),
+                axis_names=("scene", "shard"))
+    batch = make_scenario_batch(solver, 1)
+    step = make_batched_step(solver, mesh=mesh, donate=False)
+
+    hlo = step.lower(batch).compile().as_text()
+    assert any(op in hlo for op in
+               ("all-reduce", "all-gather", "collective-permute",
+                "reduce-scatter", "all-to-all")), \
+        "no cross-device collectives in the sharded mesh-obstacle HLO"
+
+    out = batch
+    for _ in range(n_steps):
+        out = step(out)
+    out = jax.block_until_ready(out)
+    shapes = {sh.data.shape for sh in out.x.addressable_shards}
+    assert shapes == {(1, n_verts // n_shard, 3)}, shapes
+    assert np.isfinite(np.asarray(out.x)).all()
+
+    step1 = make_batched_step(solver, mesh=None, donate=False)
+    out1 = make_scenario_batch(solver, 1)
+    for _ in range(n_steps):
+        out1 = step1(out1)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(out1.x),
+                               atol=atol)
+    return out
+
+
+def test_shard_meshobstacle_exact_partitions_and_matches():
+    """The EXACT mesh-obstacle narrow phase under the 8-way shard axis
+    (VERDICT r4 weak #3): tier-1 top_k compaction, .at[sel].set
+    scatter-back, candidate-table gathers AND the deep-penetration
+    lax.cond (the 0.3-deep start exceeds the 0.25 capture radius, so the
+    fallback's TRUE branch executes sharded) — none of which had ever
+    lowered under GSPMD vertex sharding. Asserts collectives, partitioned
+    shard shapes, sharded == unsharded trajectory, overflow clean, and
+    the body restored above the slab."""
+    solver = _meshobs_shard_solver("exact", near_lanes=768)
+    out = _assert_sharded_matches(solver, n_steps=6)
+    assert not bool(np.asarray(out.overflow).any()), \
+        "compaction/fallback capacity overflowed in the shard proof"
+    # The deep start engaged contact and the slab held the body.
+    assert float(np.asarray(out.x)[..., 1].min()) > -0.35
+
+
+def test_shard_meshobstacle_sdf_partitions_and_matches():
+    """The voxel-SDF narrow phase (packed [G,4] gather + minv tier-1
+    compaction) under the 8-way shard axis — the throughput sibling of
+    the exact proof above."""
+    solver = _meshobs_shard_solver("sdf", near_lanes=512, start_depth=-0.02)
+    out = _assert_sharded_matches(solver, n_steps=6)
+    assert not bool(np.asarray(out.overflow).any())
+    assert float(np.asarray(out.x)[..., 1].min()) > -0.35
+
+
+def test_shard_meshobstacle_overflow_accounting():
+    """Over-capacity tier-1 compaction through the SHARDED path: the
+    sticky per-scene overflow flag must surface (same accounting as the
+    single-device RuntimeData.collision_overflow), and extras degrade to
+    no-hit rather than wrong projections (finite trajectory)."""
+    from admm_elastic_tpu.parallel.batch import (make_batched_step,
+                                                 make_scenario_batch)
+
+    # 8 near lanes on a 1024-vert body in contact: guaranteed overflow.
+    solver = _meshobs_shard_solver("exact", near_lanes=8, start_depth=0.05,
+                                   admm_iters=2, pcg_max_iters=10)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(1, 8),
+                axis_names=("scene", "shard"))
+    step = make_batched_step(solver, mesh=mesh, donate=False)
+    out = step(make_scenario_batch(solver, 1))
+    out = jax.block_until_ready(out)
+    assert bool(np.asarray(out.overflow).all()), \
+        "sharded path lost the collision-overflow accounting"
+    assert np.isfinite(np.asarray(out.x)).all()
+
+
 def test_shard_fallback_warns_on_indivisible(recwarn):
     """N % n_shard != 0 falls back to scene-only sharding — loudly
     (VERDICT r1 item 9: the silent fallback)."""
