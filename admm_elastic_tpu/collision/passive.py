@@ -345,15 +345,26 @@ class PassiveMeshExact:
         dtype = p.dtype
         big = jnp.asarray(1e30, dtype)
         a, b, c = abc[..., 0, :], abc[..., 1, :], abc[..., 2, :]
-        closest, v, w = _pt_tri_closest(p[:, None, :], a, b, c)
+        closest, _, _ = _pt_tri_closest(p[:, None, :], a, b, c)
         d2 = jnp.sum((p[:, None, :] - closest) ** 2, axis=-1)
         d2 = jnp.where(fmask, d2, big)
         j = jnp.argmin(d2, axis=1)  # [V]
         take1 = lambda arr: jnp.take_along_axis(arr, j[:, None], axis=1)[:, 0]
-        cl = jnp.take_along_axis(closest, j[:, None, None], axis=1)[:, 0]
         dist = jnp.sqrt(jnp.maximum(take1(d2), 0.0))
-        v_s, w_s = take1(v), take1(w)
         any_face = jnp.any(fmask, axis=1)
+        # Selected-face recompute: gather ONE [3,3] corner row per lane
+        # and redo the closest point on that single triangle. Bit-
+        # identical to extracting row j of pass 1 (_pt_tri_closest is
+        # elementwise-deterministic on the same values), but it leaves
+        # the wide [V, K, ...] pass-1 tensors with a SINGLE consumer (the
+        # d2 reduction): extracting cl/v/w from them made XLA replay the
+        # whole Kf-wide candidate gather a second time — obstacle_lab2
+        # measured that replay at ~3.5 ms/call of the 8.5 ms narrow
+        # phase at the 500k matrix geometry.
+        fid_s = j if fids is None else take1(fids)
+        abc_s = self.tri_abc[fid_s].astype(dtype)  # [V, 3, 3]
+        cl, v_s, w_s = _pt_tri_closest(
+            p, abc_s[:, 0, :], abc_s[:, 1, :], abc_s[:, 2, :])
 
         # Outward normal: angle-weighted pseudonormal of the closest
         # feature. The feature REGION is classified first from the
@@ -483,10 +494,12 @@ class PassiveMeshExact:
         # it): its corners arrive as a broadcast of the whole soup — no
         # gather — so the whole pass is ~[k_fb, F] streamed VPU work.
         # The r4 form wrapped it in lax.cond "so shallow contact never
-        # pays it", but obstacle_lab2 measured that cond at 5.9 ms/call
-        # UNTAKEN at the 500k matrix geometry (~43% of the narrow phase
-        # — XLA pays for the gather-based branch either way), vs ~0.3 ms
-        # for this unconditional broadcast form.
+        # pays it", but obstacle_lab2 measured the cond-wrapped block at
+        # 5.9 ms/call UNTAKEN at the 500k matrix geometry (~2.4 ms the
+        # cond itself — XLA pays for the gather-based branch either way
+        # — and ~3.5 ms the pass-1 replay fixed in _closest_over). The
+        # unconditional broadcast form is flat in fallback_lanes:
+        # 8.50 ms at k_fb=0 vs 8.59 at 128 and 8.85 at 512 (lab2c).
         near_tet = self.tet_count[cid] > 0
         capture = (jnp.asarray(self.capture_cells, dtype)
                    * self.h.astype(dtype))

@@ -24,6 +24,18 @@ import jax.numpy as jnp
 
 from admm_elastic_tpu.collision import constraints as con
 
+# Inner warm start across Schur iterations: MEASURED AND REJECTED (r5,
+# benchmarks/uzawa_lab.py + UZAWA_LAB_r5.json). The CG recurrence gives
+# a free guess for the iterative inner (A^-1 C^T d_k = A^-1 C^T r_k -
+# beta_{k-1} q2_{k-1}), but on the beam-floor-uzawa-67k matrix scene it
+# bought 0.99x (the tol-terminated inner saves no iterations: successive
+# Schur directions are conjugate, so the known term is not dominant),
+# and a large beta can hand the inner a guess WORSE than zero, blowing
+# its iteration budget (test_uzawa_sparse_inner_matches_dense launched
+# the resting body upward). The toggle below exists only so the lab can
+# re-measure; production keeps the cold start.
+INNER_WARM_START = False
+
 
 def solve(apply_Ainv, hits: con.Hits, ck, b0, x_guess, y, max_iters, tol):
     """Returns (x, y, iters).
@@ -76,12 +88,16 @@ def solve(apply_Ainv, hits: con.Hits, ck, b0, x_guess, y, max_iters, tol):
         tol2 = tol_c * tol_c
 
         def cond(carry):
-            _, _, r, d, k, done = carry
+            _, _, r, d, _, _, k, done = carry
             return (~done) & (k < max_iters)
 
         def body(carry):
-            x, yv, r, d, k, _ = carry
-            q2 = apply_Ainv(Ct(d))
+            x, yv, r, d, q2p, betap, k, _ = carry
+            # Iterative-inner warm start across Schur iterations: see the
+            # module-level note — measured at 0.99x and destabilizing, so
+            # OFF in production; the carry plumbing stays for the lab.
+            q2 = apply_Ainv(
+                Ct(d), (-betap * q2p) if INNER_WARM_START else None)
             q3 = jnp.where(active, C(q2), 0.0)
             denom = jnp.dot(d, q3)
             bad = jnp.abs(denom) < tiny
@@ -93,10 +109,12 @@ def solve(apply_Ainv, hits: con.Hits, ck, b0, x_guess, y, max_iters, tol):
             beta = jnp.where(bad, 0.0, jnp.dot(r, q3) / jnp.where(bad, 1.0, denom))
             d = r - beta * d
             done = bad | small
-            return (x, yv, r, d, k + 1, done)
+            return (x, yv, r, d, q2, beta, k + 1, done)
 
-        init = (x0, y, r0, d0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
-        x, yv, _, _, iters, _ = jax.lax.while_loop(cond, body, init)
+        zero3 = jnp.zeros((n, 3), dtype)
+        init = (x0, y, r0, d0, zero3, jnp.asarray(0.0, dtype),
+                jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        x, yv, _, _, _, _, iters, _ = jax.lax.while_loop(cond, body, init)
         return x, yv, jnp.maximum(iters, 1)
 
     return constrained(None)

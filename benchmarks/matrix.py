@@ -158,13 +158,17 @@ def _meshobs_solver(nx, ny, nz, narrow, linsolver=4,
     # ~2.4 m/s = 8 layers/step — warned honestly by Solver.run); the
     # runner asserts RuntimeData.collision_overflow clean over the TIMED
     # window only.
+    # cells=64 (r5): the candidate capacity Kf stays 8 while the gate
+    # band (and so the near set K) halves — obstacle_lab2 measured the
+    # isolated 500k narrow phase at 3.72 ms/call vs 4.86 at cells=32.
+    cells = 64
     s_layer = 1.0 / nx
-    h_gate = 1.5 / 32 if narrow == "exact" else 1.7 / 47
+    h_gate = 1.5 / cells if narrow == "exact" else 1.7 / 47
     layers = int(np.ceil(h_gate / s_layer)) + 2
     near = -(-(layers * (nx + 1) * (nz + 1)) // 512) * 512
     if narrow == "exact":
         solver.add_obstacle(PassiveMeshExact.from_tet_mesh(
-            slab.vertices, slab.tets, cells=32, near_lanes=near))
+            slab.vertices, slab.tets, cells=cells, near_lanes=near))
     else:
         solver.add_obstacle(PassiveMeshSDF.from_tet_mesh(
             slab.vertices, slab.tets, resolution=48, near_lanes=near))
