@@ -294,7 +294,11 @@ class PassiveMeshExact:
     # tet_pack / [C,Kt] tet_table of the pre-r4 point-in-tet scan were
     # dead weight after the pseudonormal-sign rewrite (~30 MB at 512k
     # tets threaded through every jitted step) and are no longer baked.
-    tet_count: jax.Array  # [C] int32
+    # Stored int8 0/1 (r5): nothing ever reads the magnitude, only > 0,
+    # and the tier-1 gate gathers one row per query lane over ALL V
+    # lanes every detection — int32 made that 4x the bytes at XLA:TPU's
+    # flat ~3 GB/s gather rate.
+    tet_count: jax.Array  # [C] int8 occupancy (0/1)
     origin: jax.Array  # [3]
     h: jax.Array  # scalar cell size
     dims: tuple  # (Gx, Gy, Gz) static
@@ -451,7 +455,7 @@ class PassiveMeshExact:
         in_grid = valid
         # Narrow phase: exact closest point over the cell's candidate tris.
         kf = self.face_table.shape[1]
-        fids = self.face_table[cid]  # [V, Kf]
+        fids = self.face_table[cid].astype(jnp.int32)  # [V, Kf]
         fmask = (jnp.arange(kf, dtype=jnp.int32)[None, :] < self.face_count[cid][:, None])
         fmask = fmask & in_grid[:, None]
         dist, cl, n, any_face = self._closest_feature(p, fids, fmask)
@@ -628,8 +632,15 @@ class PassiveMeshExact:
         x4 = verts[tets]
         # Only the per-cell tet OCCUPANCY survives on device (tier-1 gate
         # + fallback trigger); the candidate ids themselves are dead
-        # since the pseudonormal-sign rewrite.
+        # since the pseudonormal-sign rewrite. int8 0/1 — the gate only
+        # tests > 0 and gathers one row per lane over ALL V lanes.
         _, tet_count = build_table(x4.min(axis=1), x4.max(axis=1), 0.0)
+        tet_count = (tet_count > 0).astype(np.int8)
+        # Candidate ids: int16 when the soup fits (it almost always
+        # does), halving the [C, Kf] per-lane id-gather bytes; indices
+        # are widened after the gather.
+        if len(faces) < 32768:
+            face_table = face_table.astype(np.int16)
 
         jarr = lambda arr: jnp.asarray(np.asarray(arr, dtype=np.float64))
         return PassiveMeshExact(
