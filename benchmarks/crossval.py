@@ -274,6 +274,19 @@ def main():
         # for Lyapunov growth (measured ~7e-6), bound 1e-4.
         if name in ("beam_nh_pcg", "torus_nh_pcg"):
             bound = 1e-2
+        elif name == "bunny_nh_pcg_1step":
+            # Measured floor, NOT a miscompile: benchmarks/bunny_bisect.py
+            # (BUNNY_BISECT_r5.json) shows the banded apply_T and A_mv on
+            # the bunny operator agree across backends to f32 noise
+            # (1.1e-7 / 5.3e-8) while 60 FIXED PCG iterations amplify
+            # that to 3.9e-4 and the fused 1-step to 5.96e-4 — the
+            # 777-vert irregular mesh's pin-stiffened operator (~1e5
+            # diagonal ratios) makes the Krylov iteration itself the
+            # amplifier, where the lattice scenes' 1-step floor is 1e-5
+            # class. 2e-3 is ~3x the measured floor; the miscompile
+            # class this harness catches (O(1) divergence, NaNs) clears
+            # it by 3+ orders.
+            bound = 2e-3
         elif name == "torus_nh_pcg_1step":
             # The torus's 1-step reassociation floor is higher than the
             # beam's: torus_bisect2 (r3) measured 1.6e-4 after ONE step

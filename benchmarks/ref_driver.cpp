@@ -18,6 +18,8 @@
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
+#include <fstream>
+#include <string>
 #include <vector>
 
 #include "MCL/MicroTimer.hpp"
@@ -144,6 +146,52 @@ static void make_torus(int n_ring, int n_sec, std::vector<double>& verts,
       }
 }
 
+// TetGen-format loader (model 7): <base>.node + <base>.ele, the
+// reference's own sample data files verbatim. Orientation normalized
+// exactly like admm_elastic_tpu.geometry.io.load_elenode (swap columns
+// 1,2 of negative-volume tets) so both builds simulate the same mesh.
+static void load_elenode(const char* base, std::vector<double>& verts,
+                         std::vector<int>& tets) {
+  std::ifstream nf((std::string(base) + ".node").c_str());
+  int n_pts = 0, dim = 0, na = 0, nb = 0;
+  nf >> n_pts >> dim >> na >> nb;
+  verts.resize((size_t)n_pts * 3);
+  long first_idx = 0;
+  for (int i = 0; i < n_pts; ++i) {
+    long id = 0;
+    double x, y, z;
+    nf >> id >> x >> y >> z;
+    if (i == 0) first_idx = id;
+    verts[i * 3] = x;
+    verts[i * 3 + 1] = y;
+    verts[i * 3 + 2] = z;
+  }
+  std::ifstream ef((std::string(base) + ".ele").c_str());
+  int n_t = 0, npt = 0, attr = 0;
+  ef >> n_t >> npt >> attr;
+  tets.resize((size_t)n_t * 4);
+  for (int t = 0; t < n_t; ++t) {
+    long id, a, b, c, d;
+    ef >> id >> a >> b >> c >> d;
+    tets[t * 4] = (int)(a - first_idx);
+    tets[t * 4 + 1] = (int)(b - first_idx);
+    tets[t * 4 + 2] = (int)(c - first_idx);
+    tets[t * 4 + 3] = (int)(d - first_idx);
+  }
+  for (int t = 0; t < n_t; ++t) {
+    Eigen::Vector3d p[4];
+    for (int j = 0; j < 4; ++j)
+      p[j] = Eigen::Vector3d(verts[tets[t * 4 + j] * 3],
+                             verts[tets[t * 4 + j] * 3 + 1],
+                             verts[tets[t * 4 + j] * 3 + 2]);
+    Eigen::Matrix3d E;
+    E.col(0) = p[1] - p[0];
+    E.col(1) = p[2] - p[0];
+    E.col(2) = p[3] - p[0];
+    if (E.determinant() < 0) std::swap(tets[t * 4 + 1], tets[t * 4 + 2]);
+  }
+}
+
 int main(int argc, char** argv) {
   int nx = 40, ny = 5, nz = 5, iters = 10, n_steps = 20, model = 1;
   if (argc > 3) {
@@ -242,6 +290,15 @@ int main(int argc, char** argv) {
     // Solid torus (irregular for the solver: the ring wrap): nx = n_ring,
     // ny = n_sec. Pins: the s=0 cross-section ring (first (ny+1)^2 verts).
     make_torus(nx, ny, verts, tets);
+  } else if (model == 7) {
+    // Real sample mesh via REF_ELENODE=<base> (e.g. the upstream
+    // bunny_1124) — NeoHookean tets, bottom band pinned below.
+    const char* base = getenv("REF_ELENODE");
+    if (!base) {
+      fprintf(stderr, "model 7 requires REF_ELENODE=<basename>\n");
+      return 1;
+    }
+    load_elenode(base, verts, tets);
   } else {
     make_beam(nx, ny, nz, verts, tets);
   }
@@ -331,6 +388,15 @@ int main(int argc, char** argv) {
   } else if (model == 6) {
     std::vector<int> pins;
     for (int v = 0; v < (ny + 1) * (ny + 1); ++v) pins.push_back(v);
+    solver.set_pins(pins);
+  } else if (model == 7) {
+    // Pin the bottom band (the bunny's feet), matching the TPU-side
+    // scene (tests/test_parity.py / benchmarks/crossval.py kind=bunny).
+    double ylo = 1e300;
+    for (int v = 0; v < n_verts; ++v) ylo = std::min(ylo, verts[v * 3 + 1]);
+    std::vector<int> pins;
+    for (int v = 0; v < n_verts; ++v)
+      if (verts[v * 3 + 1] < ylo + 0.015) pins.push_back(v);
     solver.set_pins(pins);
   } else {
     // Pin the -x face (beam) / -x edge (cloth) in place.

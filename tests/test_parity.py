@@ -637,3 +637,60 @@ def test_mesh_obstacle_deep_penetration_parity(tmp_path):
     assert err_ctrl > max(100 * err, 1e-3), (
         f"control without fallback matched the reference ({err_ctrl} vs "
         f"{err}) — the scene never reached the deep regime")
+
+
+def test_bunny_elenode_trajectory_parity(tmp_path):
+    """The reference's own bunny_1124.node/.ele VERBATIM through both
+    builds (VERDICT r5 #6): ref_driver model 7 loads the TetGen files
+    with the same orientation normalization as geometry/io.load_elenode,
+    pins the bottom band, NeoHookean tets, LDLT global — an irregular,
+    non-lattice mesh the builder didn't generate, exercising the gather
+    (non-stencil) element path and RCM banding against the actual
+    reference binary."""
+    base = os.path.join(REF, "samples", "data", "bunny_1124")
+    if not os.path.exists(base + ".node"):
+        pytest.skip("reference sample data not mounted")
+
+    subprocess.run(
+        ["bash", os.path.join(HERE, "benchmarks", "build_reference.sh")],
+        check=True, capture_output=True, timeout=500,
+    )
+    dump = str(tmp_path / "bunny.bin")
+    subprocess.run(
+        ["/tmp/ref_build/ref_driver", "1", "1", "1", str(ITERS),
+         str(STEPS), "7", dump],
+        check=True, capture_output=True, timeout=300,
+        env=dict(os.environ, REF_ELENODE=base),
+    )
+
+    from admm_elastic_tpu import Lame, Settings, Solver
+    from admm_elastic_tpu.geometry.io import load_elenode
+    from admm_elastic_tpu.geometry.mesh import lumped_masses_tet
+
+    mesh = load_elenode(base)
+    n_verts = len(mesh.vertices)
+    ref = np.fromfile(dump, dtype=np.float64).reshape(STEPS, n_verts, 3)
+
+    solver = Solver()
+    masses = lumped_masses_tet(mesh.vertices, mesh.tets, 1522.0)
+    solver.add_nodes(mesh.vertices, masses)
+    lame = Lame.from_youngs_poisson(10000000, 0.399)
+    solver.add_tet_energies(mesh.vertices, mesh.tets, lame,
+                            model="neohookean")
+    ylo = mesh.vertices[:, 1].min()
+    pins = [int(i) for i in np.where(mesh.vertices[:, 1] < ylo + 0.015)[0]]
+    solver.set_pins(pins)
+    s = Settings(verbose=0, admm_iters=ITERS, linsolver=0, gravity=-9.8,
+                 prox_newton_iters=20)
+    assert solver.initialize(s)
+    # Irregular topology: must be on the gather path, not the stencil.
+    assert solver.system.tets[0].stencil is None
+    traj = []
+    for _ in range(STEPS):
+        solver.step()
+        traj.append(solver.x.copy())
+    ours = np.stack(traj)
+
+    scale = np.abs(ref).max()
+    err = np.abs(ref - ours).max() / scale
+    assert err < 1e-5, f"bunny parity: rel max |dx| = {err}"
