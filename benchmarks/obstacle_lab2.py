@@ -163,6 +163,12 @@ def main():
     ap.add_argument("--no-ladder", dest="ladder", action="store_false")
     ap.add_argument("--fb-probe", action="store_true",
                     help="only run the deep-fallback isolation probes")
+    ap.add_argument("--steplab", action="store_true",
+                    help="step-level A/B at the 500k matrix geometry: "
+                         "the SAME body + solver settings with an analytic "
+                         "floor at the slab-top height vs the SDF vs the "
+                         "exact slab — isolates what the mesh-obstacle "
+                         "scenes pay beyond the floor row in situ")
     args = ap.parse_args()
 
     import jax
@@ -180,6 +186,58 @@ def main():
     def report(rec):
         results.append(rec)
         print(json.dumps(rec), flush=True)
+
+    if args.steplab:
+        import matrix as mx
+        from admm_elastic_tpu import Lame, Settings, Solver, binding
+        from admm_elastic_tpu.collision.passive import Floor
+        from admm_elastic_tpu.geometry.factory import (make_tet_blocks,
+                                                       make_xform)
+
+        def floor_solver():
+            # _meshobs_solver's body verbatim, obstacle = analytic floor
+            # at the slab's top-face height, identical solver settings.
+            body = make_tet_blocks(args.nx, args.ny, args.nz,
+                                   cell=1.0 / args.nx)
+            body.flags = binding.NOSELFCOLLISION | binding.LINEAR
+            body.apply_xform(make_xform(trans=(0.0, 0.4, 0.0)))
+            sv = Solver()
+            binding.add_tetmesh(sv, body, Lame.soft_rubber(), verbose=False)
+            sv.add_obstacle(Floor(y=jnp.asarray(-0.1)))
+            st = Settings(verbose=0, admm_iters=mx.ADMM_ITERS, linsolver=4,
+                          dtype=np.float32, pcg_precond="jacobi",
+                          pcg_max_iters=100, pcg_tol=1e-4)
+            assert sv.initialize(st)
+            return sv
+
+        variants = {
+            "floor": floor_solver,
+            "sdf": lambda: mx._meshobs_solver(
+                args.nx, args.ny, args.nz, "sdf", pcg=("jacobi", 100, 1e-4)),
+            "exact": lambda: mx._meshobs_solver(
+                args.nx, args.ny, args.nz, "exact",
+                pcg=("jacobi", 100, 1e-4)),
+        }
+        base_ms = None
+        for name, build in variants.items():
+            sv = build()
+            sv.run(10)  # settle into contact (matrix protocol)
+            dt = mx._time(sv, steps=3, target_s=0.4, max_steps=60)
+            rec = {"config": f"steplab {name}",
+                   "ms_per_step": round(dt * 1e3, 2),
+                   "min_y": round(float(np.asarray(sv.state.x)[:, 1].min()), 4)}
+            if base_ms is None:
+                base_ms = dt * 1e3
+            else:
+                rec["delta_ms_vs_floor"] = round(dt * 1e3 - base_ms, 2)
+            report(rec)
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "OBSTACLE_STEPLAB_r5.json")
+        with open(out, "w") as f:
+            for rec in results:
+                f.write(json.dumps(rec) + "\n")
+        print(f"wrote {out}", flush=True)
+        return
 
     # ---- base config: the matrix bake -------------------------------
     verts, m = build_scene(args.nx, args.ny, args.nz, cells=32,
