@@ -37,12 +37,25 @@ class DirectData:
     pin_vals: "jax.Array | None" = None  # [P, K]
     pin_diag: "jax.Array | None" = None  # [P]
     mode: str = "cho"
+    # MXU precision tier for the inv-mode matmul, chosen at prepare()
+    # time. "high" (3-pass bf16x3) halves the f32-emulation cost of the
+    # flagship's global step (-5.5 us of its 60 us ADMM iteration,
+    # benchmarks/FLAGSHIP_LAB_r5.json) at a one-apply relative error of
+    # 1.1e-5 vs HIGHEST's 1.9e-7 (benchmarks/precision_lab.py). That is
+    # safe ONLY on pinned systems, where the pin-row polish restores the
+    # stiff rows and the 8-step TPU trajectory stays 2.1e-4 from the
+    # HIGHEST path (10x inside the crossval bound). Unpinned inv systems
+    # keep "highest": their smallest eigenvalues are bare vertex masses
+    # and apply error on those modes feeds back exponentially through
+    # v = (x_new - x0)/dt (see Solver._refine_eff) — a 56x larger apply
+    # error is not worth re-proving that stability margin.
+    prec: str = "highest"
 
 
 jax.tree_util.register_dataclass(
     DirectData,
     data_fields=("mat", "scale", "pin_idx", "pin_cols", "pin_vals", "pin_diag"),
-    meta_fields=("mode",),
+    meta_fields=("mode", "prec"),
 )
 
 
@@ -84,6 +97,7 @@ def prepare(A_dense: np.ndarray, dtype, mode: str = "cho",
             mat=jnp.asarray(Binv, dtype=dtype),
             scale=jnp.asarray(s[:, None], dtype=dtype),
             mode="inv",
+            prec="high" if pin_rows is not None else "highest",
             **pin_kw,
         )
     L = np.linalg.cholesky(A_dense)
@@ -98,14 +112,18 @@ def prepare(A_dense: np.ndarray, dtype, mode: str = "cho",
 def solve(data: DirectData, b):
     """x = A^-1 b for b [N, k] (k=3 coordinates as batched RHS).
 
-    precision=HIGHEST: the MXU's default f32 matmul runs in bf16 passes
-    (~3 fewer digits), which measurably corrupts trajectories through the
-    repeated solves (TPU-vs-CPU crossval drift 1e-2 vs 1e-5); exact-f32
-    passes cost a few extra microseconds at these sizes.
+    Never Precision.DEFAULT: the MXU's default f32 matmul runs in plain
+    bf16 passes (~3 fewer digits, one-apply rel err 5.6e-4 — see
+    benchmarks/precision_lab.py), which measurably corrupts trajectories
+    through the repeated solves (TPU-vs-CPU crossval drift 1e-2 vs 1e-5).
+    The tier between HIGH and HIGHEST is picked per-system at prepare()
+    time — see DirectData.prec.
     """
     if data.mode == "inv":
+        prec = (jax.lax.Precision.HIGH if data.prec == "high"
+                else jax.lax.Precision.HIGHEST)
         return data.scale * jnp.matmul(
-            data.mat, data.scale * b, precision=jax.lax.Precision.HIGHEST
+            data.mat, data.scale * b, precision=prec
         )
     y = jax.scipy.linalg.solve_triangular(data.mat, b, lower=True)
     return jax.scipy.linalg.solve_triangular(data.mat.T, y, lower=False)

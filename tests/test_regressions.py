@@ -65,3 +65,25 @@ def test_gather_table_isolated_vertices():
     out = np.asarray(red.tet_Dt(g, jnp.asarray(inds, jnp.int32), dloc, 6, jnp.asarray(table)))
     assert np.all(out[0] == 0.0) and np.all(out[5] == 0.0)
     assert np.all(out[1] != 0.0)
+
+
+def test_direct_inv_precision_policy():
+    """The inv-mode MXU precision tier is pinned-gated (solvers/direct.py):
+    HIGH's 3-pass apply (one-apply rel err 1.1e-5, precision_lab) is only
+    taken where the pin-row polish backs it; unpinned systems keep the
+    6-pass HIGHEST because their bare-mass modes amplify apply error
+    exponentially across steps (Solver._refine_eff)."""
+    from admm_elastic_tpu.solvers import direct as direct_mod
+
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((8, 8))
+    a = q @ q.T + 8.0 * np.eye(8)
+    pin_rows = (np.array([0]), np.array([[1, 2]]),
+                np.array([[0.1, 0.2]]), np.array([a[0, 0]]))
+    assert direct_mod.prepare(a, np.float32, mode="inv",
+                              pin_rows=pin_rows).prec == "high"
+    assert direct_mod.prepare(a, np.float32, mode="inv",
+                              pin_rows=None).prec == "highest"
+    # cho mode never takes the emulated-matmul path at all.
+    assert direct_mod.prepare(a, np.float32, mode="cho",
+                              pin_rows=None).prec == "highest"
