@@ -184,6 +184,12 @@ class FlatPlan:
         return out
 
 
+def _pad128(n: int) -> int:
+    """Round up to the TPU lane width (Pallas stencil kernels need the
+    per-slot lane blocks 128-aligned; the extra lanes are dead)."""
+    return -(-n // 128) * 128
+
+
 def tet_flat_plan(meta: StencilMeta) -> FlatPlan:
     base, X, Y, Z, pe, po, wrap = meta
     # Cells embed at vertex pitch in (j, k) only; the OUTERMOST axis needs
@@ -198,12 +204,25 @@ def tet_flat_plan(meta: StencilMeta) -> FlatPlan:
     # Original order: t = ((ci*ny + cj)*nz + ck)*5 + s (cell-major).
     cell_id = (ci * ny + cj) * nz + ck
     src_cell = np.where(live, cell_id, -1).reshape(-1)  # [cells]
+    par = ((ci + cj + ck) % 2 == 0).astype(np.float64).reshape(-1)
+    dead = ~live.reshape(-1)
+    if not wrap:
+        # Pad the cell axis to the lane width so every per-slot block of
+        # the [S*cells] flat element array starts 128-aligned (consumed by
+        # ops/pallas_stencil.py). The pad cells are ordinary dead lanes.
+        # Wrap (ring) families keep the exact count: their (p+d) mod cells
+        # addressing is meaningful only at the true cell count.
+        pad = _pad128(cells) - cells
+        if pad:
+            src_cell = np.concatenate([src_cell, np.full((pad,), -1, np.int64)])
+            par = np.concatenate([par, np.zeros((pad,))])
+            dead = np.concatenate([dead, np.ones((pad,), bool)])
+            cells += pad
     src = np.empty((5 * cells,), np.int64)
     for s in range(5):
         src[s * cells:(s + 1) * cells] = np.where(
             src_cell >= 0, src_cell * 5 + s, -1)
-    par = ((ci + cj + ck) % 2 == 0).astype(np.float64).reshape(-1)
-    return FlatPlan(src=src, dead=~live.reshape(-1), par=par,
+    return FlatPlan(src=src, dead=dead, par=par,
                     n_slots=5, arity=4, cols=3)
 
 
@@ -212,6 +231,8 @@ def _tet_geom(meta: StencilMeta):
     YZ = Y * Z
     nx = X if wrap else X - 1
     cells = nx * YZ  # flat cell array (vertex pitch in j/k; no +1 slab)
+    if not wrap:
+        cells = _pad128(cells)  # mirror tet_flat_plan's lane-width padding
     n_vblock = X * YZ  # the family's vertex block
     offs = tuple(di * YZ + dj * Z + dk for (di, dj, dk) in _CORNERS)
     return base, cells, n_vblock, offs, pe, po, wrap

@@ -21,6 +21,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from admm_elastic_tpu.ops import pallas_stencil as pstencil
 from admm_elastic_tpu.ops import reduction as red
 from admm_elastic_tpu.ops import stencil as stencil_mod
 from admm_elastic_tpu.system.elements import PinBatch, TetBatch, TriBatch
@@ -63,7 +64,9 @@ def Dx(system: System, x):
     """
     out = []
     for b in system.tets:
-        if b.stencil is not None:
+        if x.shape[1] == 3 and pstencil.eligible(b, x.dtype):
+            out.append(pstencil.tet_Dx_rows(x, b))
+        elif b.stencil is not None:
             out.append(stencil_mod.tet_Dx_rows(x, b))
         else:
             out.append(red.tet_Dx_rows(x, b.inds, b.Dlocal))
@@ -90,26 +93,30 @@ def zeros_like_Dx(system: System, dtype):
     return out
 
 
+def _tet_DtW2(b: TetBatch, g, n):
+    w2 = (b.weight * b.weight)[None, :]  # rows layout [9, T]
+    if b.stencil is not None:
+        return stencil_mod.tet_Dt_rows(w2 * g, b, n)
+    return red.tet_Dt_rows(w2 * g, b.inds, b.Dlocal, n, b.gather_idx)
+
+
+def _tri_DtW2(b: TriBatch, g, n):
+    w2 = (b.weight * b.weight)[None, :]  # rows layout [6, T]
+    if b.stencil is not None:
+        return stencil_mod.tri_Dt_rows(w2 * g, b, n)
+    return red.tri_Dt_rows(w2 * g, b.inds, b.Dlocal, n, b.gather_idx)
+
+
 def DtW2(system: System, g_list):
     """sum_f D_f^T W_f^2 g_f -> [N,3] (no dt^2 factor)."""
     n = system.n_verts
     i = 0
     parts = []
     for b in system.tets:
-        w2 = (b.weight * b.weight)[None, :]  # rows layout [9, T]
-        if b.stencil is not None:
-            parts.append(stencil_mod.tet_Dt_rows(w2 * g_list[i], b, n))
-        else:
-            parts.append(red.tet_Dt_rows(w2 * g_list[i], b.inds, b.Dlocal, n,
-                                         b.gather_idx))
+        parts.append(_tet_DtW2(b, g_list[i], n))
         i += 1
     for b in system.tris:
-        w2 = (b.weight * b.weight)[None, :]  # rows layout [6, T]
-        if b.stencil is not None:
-            parts.append(stencil_mod.tri_Dt_rows(w2 * g_list[i], b, n))
-        else:
-            parts.append(red.tri_Dt_rows(w2 * g_list[i], b.inds, b.Dlocal, n,
-                                         b.gather_idx))
+        parts.append(_tri_DtW2(b, g_list[i], n))
         i += 1
     if system.pins is not None:
         w2 = (system.pins.weight * system.pins.weight)[:, None]
@@ -162,9 +169,32 @@ def local_step(system: System, x, z_list, u_list, n_newton_iters: int = 8):
 
 
 def rhs(system: System, M_xbar, z_list, u_list):
-    """b = M x_bar + dt^2 D^T W^2 (z - u) (src/Solver.cpp:98)."""
-    zu = [z - u for z, u in zip(z_list, u_list)]
-    return M_xbar + system.dt2 * DtW2(system, zu)
+    """b = M x_bar + dt^2 D^T W^2 (z - u) (src/Solver.cpp:98).
+
+    Eligible flat-stencil tet families fold the whole elastic term
+    (z-u, ×w², Dᵀ scatter) into one Pallas kernel (ops/pallas_stencil.py).
+    """
+    n = system.n_verts
+    i = 0
+    parts = []
+    for b in system.tets:
+        if pstencil.eligible(b, z_list[i].dtype):
+            parts.append(pstencil.tet_rhs_rows(z_list[i], u_list[i], b, n))
+        else:
+            parts.append(_tet_DtW2(b, z_list[i] - u_list[i], n))
+        i += 1
+    for b in system.tris:
+        parts.append(_tri_DtW2(b, z_list[i] - u_list[i], n))
+        i += 1
+    if system.pins is not None:
+        w2 = (system.pins.weight * system.pins.weight)[:, None]
+        parts.append(red.pin_Dt(w2 * (z_list[i] - u_list[i]),
+                                system.pins.idx, n, system.pins.gather_idx))
+        i += 1
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return M_xbar + system.dt2 * out
 
 
 def total_energy(system: System, x):

@@ -85,17 +85,17 @@ def test_shard_stencil_lattice_partitions_and_matches():
     padding, which trips `_debloat_for_throughput`'s 15% threshold and
     silently rebuilds gather-path batches — so the static-slice stencil
     addressing (lax.slice / pad / concatenate on the vertex stream) had
-    never compiled under a shard axis. This lattice (7x12x12: 14.8%
-    padding, 1352 verts % 8 == 0) survives the debloat; the test asserts
-    retention explicitly, then collectives + partitioned shards + sharded
-    == unsharded.
+    never compiled under a shard axis. This lattice (13x13x13: 14.2%
+    total padding incl. the 128-lane cell alignment, 2744 verts % 8 == 0)
+    survives the debloat; the test asserts retention explicitly, then
+    collectives + partitioned shards + sharded == unsharded.
     """
     from admm_elastic_tpu.parallel.batch import (
         _debloat_for_throughput, make_batched_step, make_scenario_batch)
 
-    solver = _beam_solver(7, 12, 12)
+    solver = _beam_solver(13, 13, 13)
     n_verts = solver._n_verts
-    assert n_verts == 1352
+    assert n_verts == 2744
     # Stencil detected at build AND retained by the batching debloat.
     assert solver.system.tets[0].stencil is not None
     assert _debloat_for_throughput(solver, solver.system) is solver.system, \
